@@ -18,6 +18,8 @@ import re
 import unicodedata
 from collections.abc import Iterator
 
+import pandas as pd
+
 _BRACKET_RE = re.compile(r"\(([^)]*)\)")
 _WS_RE = re.compile(r"\s+")
 
@@ -99,7 +101,6 @@ def lexical_score(mention_norm: str, key_norm: str) -> float:
 
 def make_normalize_udf():
     """pandas UDF: normalize a string column (Arrow-batched)."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
@@ -111,7 +112,6 @@ def make_normalize_udf():
 
 
 def make_strip_accents_udf():
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
@@ -126,7 +126,6 @@ def make_lexical_score_udf():
     """pandas UDF (Arrow-batched) scoring (mention_norm, key_norm)
     pairs — the hot fuzzy path; a batch of ~10k short strings per
     Arrow chunk, no per-row Python dispatch from the JVM."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 

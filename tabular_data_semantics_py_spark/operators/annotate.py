@@ -1,0 +1,180 @@
+"""CEA / CTA / CPA annotation operators (SURVEY.md §2.3-2.4, §2.7).
+
+All three are shuffle-lean column pipelines:
+
+- CEA: two window argmaxes per cell partition key (phase-1 lexical
+  pick, phase-2 column-coherence re-rank). The coherence vote table is
+  a groupBy(table, col, type) — the only wide shuffle, keyed well
+  below cell cardinality.
+- CTA: type voting (challenge_utils.py:121-126) + pinned-lexicographic
+  argmax (challenge_utils.py:184-193) + ancestor expansion of the
+  winner (challenge_utils.py:150-160).
+- CPA: subject-column × object-column entity pairs joined against the
+  triple store, predicate voting (kg/endpoints.py:342-346 derivation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..constants import (
+    AGENT_CLASS,
+    AVOID_PREDICATES,
+    AVOID_TOP_CONCEPTS,
+    ONTOLOGY_NS,
+    RDF_TYPE,
+    TYPE_BONUS,
+)
+
+_CELL_KEY = ["table_id", "col", "row"]
+
+
+def cea(
+    cells_with_mention: DataFrame,
+    candidates: DataFrame,
+    entity_types: DataFrame,
+) -> DataFrame:
+    """→ (table_id, col, row, uri): the final cell-entity annotation.
+
+    Phase 1: best candidate per cell by (score, popularity, uri).
+    Phase 2: column type-vote shares from phase-1 picks; final score =
+    score + TYPE_BONUS * max vote-share over the candidate's types;
+    re-pick. Pinned spec in fixtures/oracle.py.
+    """
+    linked = (
+        cells_with_mention.where(F.col("mention_norm") != "")
+        .select(*_CELL_KEY, "mention_norm")
+        .join(candidates, "mention_norm")
+    )
+
+    w1 = Window.partitionBy(*_CELL_KEY).orderBy(
+        F.desc("score"), F.desc("popularity"), F.asc("uri")
+    )
+    prelim = (
+        linked.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select(*_CELL_KEY, "uri")
+    )
+
+    votes = (
+        prelim.join(entity_types, "uri")
+        .select("table_id", "col", F.explode("types").alias("t"))
+        .groupBy("table_id", "col", "t")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    col_n = prelim.groupBy("table_id", "col").agg(
+        F.count(F.lit(1)).alias("n_col")
+    )
+
+    cand_typed = (
+        linked.join(entity_types, "uri", "left")
+        .select(
+            *_CELL_KEY, "uri", "score", "popularity",
+            F.explode_outer("types").alias("t"),
+        )
+        .join(votes, ["table_id", "col", "t"], "left")
+        .groupBy(*_CELL_KEY, "uri", "score", "popularity")
+        .agg(F.max(F.coalesce(F.col("votes"), F.lit(0))).alias("max_votes"))
+        .join(col_n, ["table_id", "col"])
+        .withColumn(
+            "final_score",
+            F.col("score")
+            + F.lit(TYPE_BONUS) * (F.col("max_votes") / F.col("n_col")),
+        )
+    )
+    w2 = Window.partitionBy(*_CELL_KEY).orderBy(
+        F.desc("final_score"), F.desc("popularity"), F.asc("uri")
+    )
+    return (
+        cand_typed.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select(*_CELL_KEY, "uri")
+    )
+
+
+def cta(
+    cea_df: DataFrame,
+    entity_types: DataFrame,
+    most_specific_udf,
+    closure: DataFrame,
+) -> DataFrame:
+    """→ (table_id, col, cls, ancestors) — most-voted most-specific
+    class per column plus its space-joined sorted strict ancestors."""
+    ms = entity_types.select(
+        "uri", most_specific_udf(F.col("types")).alias("ms_types")
+    )
+    votes = (
+        cea_df.join(ms, "uri")
+        .select("table_id", "col", F.explode("ms_types").alias("t"))
+        .groupBy("table_id", "col", "t")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("table_id", "col").orderBy(
+        F.desc("votes"), F.asc("t")
+    )
+    winner = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("table_id", "col", F.col("t").alias("cls"))
+    )
+    anc = F.broadcast(
+        closure.where(
+            (F.col("depth") >= 1)
+            & F.col("ancestor_uri").startswith(ONTOLOGY_NS)
+            & (F.col("ancestor_uri") != AGENT_CLASS)
+            & ~F.col("ancestor_uri").isin(*sorted(AVOID_TOP_CONCEPTS))
+        )
+    )
+    return (
+        winner.join(anc, winner.cls == anc.class_uri, "left")
+        .groupBy("table_id", "col", "cls")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_set("ancestor_uri"))
+            ).alias("ancestors")
+        )
+    )
+
+
+def cpa(cea_df: DataFrame, kg_triples: DataFrame) -> DataFrame:
+    """→ (table_id, col_subj, col_obj, pred): most-voted predicate
+    linking the main column's entities to each other entity column's
+    (test/mergeFiles.py:40-81 target shape; votes derived from the
+    triple store as in kg/endpoints.py:342-346)."""
+    main = cea_df.groupBy("table_id").agg(F.min("col").alias("col_subj"))
+    subj = (
+        cea_df.join(main, "table_id")
+        .where(F.col("col") == F.col("col_subj"))
+        .select("table_id", "row", "col_subj", F.col("uri").alias("s_uri"))
+    )
+    obj = (
+        cea_df.join(main, "table_id")
+        .where(F.col("col") != F.col("col_subj"))
+        .select(
+            "table_id", "row", F.col("col").alias("col_obj"),
+            F.col("uri").alias("o_uri"),
+        )
+    )
+    rel = kg_triples.where(
+        (~F.col("obj_is_literal"))
+        & (F.col("pred") != RDF_TYPE)
+        & ~F.col("pred").isin(*sorted(AVOID_PREDICATES))
+    ).select(
+        F.col("subj").alias("s_uri"), "pred", F.col("obj").alias("o_uri")
+    )
+    votes = (
+        subj.join(obj, ["table_id", "row"])
+        .join(rel, ["s_uri", "o_uri"])
+        .groupBy("table_id", "col_subj", "col_obj", "pred")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("table_id", "col_subj", "col_obj").orderBy(
+        F.desc("votes"), F.asc("pred")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("table_id", "col_subj", "col_obj", "pred")
+    )

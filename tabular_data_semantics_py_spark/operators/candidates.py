@@ -1,0 +1,143 @@
+"""Candidate entity generation: cell mention → top-k KG entities
+(SURVEY.md §2.3 J1 + J3; reference matching/kg_matching.py:476-507,
+kg/lookup.py:212-219 rebuilt as local joins — no per-row HTTP).
+
+Dataflow (each stage cites the scale rationale):
+
+1. mention dedup  — ``dropDuplicates`` on the normalized mention
+   before any expensive work, then join results back: the reference's
+   memo-cache pattern (challenge_utils.py:103-118) as dataflow. At
+   100 TB the distinct-mention table is orders of magnitude smaller
+   than the cell table.
+2. exact match    — equi-join distinct mentions × index keys. This is
+   a plain shuffle-hash/broadcast join Catalyst can pick freely; the
+   index is NOT assumed broadcastable (10^8-entity scale), mentions
+   are. Hot mentions ("USA" in every table) skew the *cells→mention*
+   groupBy, not this join, because dedup already collapsed them.
+3. fuzzy fallback — only mentions with no exact hit. Token blocking
+   (shared ≥1 token) bounds the candidate pairs, then an Arrow-batched
+   pandas UDF scores (edit similarity + token Jaccard)
+   — kg/lookup.py:95-106's ranking, vectorized.
+4. redirect resolution — ≤ REDIRECT_MAX_HOPS chained left joins on the
+   redirect edge table (challenge_utils.py:441-453 bounded closure),
+   dedup by final URI keeping max score.
+5. top-k          — window (score desc, popularity desc, uri asc),
+   pinned tie-break (SURVEY.md §7 Determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..constants import FUZZY_MIN_SCORE, TOP_K_CANDIDATES
+from ..functions.normalize import make_lexical_score_udf, make_normalize_udf
+
+
+def build_index_keys(entity_index: DataFrame) -> DataFrame:
+    """entity_index → (uri, popularity, key_norm) — one row per
+    normalized label/alias surface form (kg/lookup.py:162-209 role)."""
+    normalize = make_normalize_udf()
+    keys = entity_index.select(
+        "uri",
+        "popularity",
+        F.explode(
+            F.array_union(F.array(F.col("label")), F.col("aliases"))
+        ).alias("key_raw"),
+    ).withColumn("key_norm", normalize(F.col("key_raw")))
+    return (
+        keys.where(F.col("key_norm") != "")
+        .dropDuplicates(["uri", "key_norm"])
+        .select("uri", "popularity", "key_norm")
+    )
+
+
+def generate_candidates(
+    data_cells: DataFrame,
+    entity_index: DataFrame,
+    top_k: int = TOP_K_CANDIDATES,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (cells_with_mention, candidates).
+
+    cells_with_mention: data cells + ``mention_norm`` column.
+    candidates: (mention_norm, uri, score, popularity) — redirect-
+    resolved, deduped, top-k ranked per mention.
+    """
+    normalize = make_normalize_udf()
+    score_udf = make_lexical_score_udf()
+
+    cells = data_cells.withColumn("mention_norm", normalize(F.col("cell")))
+    mentions = (
+        cells.where(F.col("mention_norm") != "")
+        .select("mention_norm")
+        .dropDuplicates(["mention_norm"])  # A10 dedup-then-join-back
+    )
+
+    index_keys = build_index_keys(entity_index)
+
+    exact = mentions.join(
+        index_keys, mentions.mention_norm == index_keys.key_norm
+    ).select("mention_norm", "uri", F.lit(1.0).alias("score"))
+
+    # fuzzy fallback for mentions with no exact hit (token blocking)
+    unmatched = mentions.join(
+        exact.select("mention_norm").distinct(), "mention_norm", "left_anti"
+    )
+    m_tok = unmatched.select(
+        "mention_norm",
+        F.explode(F.split(F.col("mention_norm"), " ")).alias("tok"),
+    )
+    i_tok = index_keys.select(
+        "uri", "key_norm", F.explode(F.split(F.col("key_norm"), " ")).alias("tok")
+    )
+    blocked = (
+        m_tok.join(i_tok, "tok")
+        .select("mention_norm", "uri", "key_norm")
+        .dropDuplicates(["mention_norm", "uri", "key_norm"])
+    )
+    fuzzy = (
+        blocked.withColumn(
+            "pair_score", score_udf(F.col("mention_norm"), F.col("key_norm"))
+        )
+        .groupBy("mention_norm", "uri")
+        .agg(F.max("pair_score").alias("score"))
+        .where(F.col("score") >= F.lit(FUZZY_MIN_SCORE))
+        .select("mention_norm", "uri", "score")
+    )
+
+    cands = exact.unionByName(fuzzy)
+
+    # redirect resolution: bounded 2-hop chained left joins
+    redirects = entity_index.where(F.col("redirect_to").isNotNull()).select(
+        F.col("uri").alias("r_src"), F.col("redirect_to").alias("r_dst")
+    )
+    for _ in range(2):  # REDIRECT_MAX_HOPS
+        cands = (
+            cands.join(
+                F.broadcast(redirects), cands.uri == redirects.r_src, "left"
+            )
+            .select(
+                "mention_norm",
+                F.coalesce(F.col("r_dst"), F.col("uri")).alias("uri"),
+                "score",
+            )
+        )
+
+    # keep only URIs present in the index; attach final popularity;
+    # dedup by final URI keeping max score
+    ent_pop = entity_index.select("uri", "popularity")
+    cands = (
+        cands.join(ent_pop, "uri")
+        .groupBy("mention_norm", "uri")
+        .agg(F.max("score").alias("score"), F.first("popularity").alias("popularity"))
+    )
+
+    w = Window.partitionBy("mention_norm").orderBy(
+        F.desc("score"), F.desc("popularity"), F.asc("uri")
+    )
+    ranked = (
+        cands.withColumn("cand_rank", F.row_number().over(w))
+        .where(F.col("cand_rank") <= top_k)
+    )
+    return cells, ranked

@@ -1,0 +1,1 @@
+from .pipeline import PipelineResult, run_pipeline  # noqa: F401

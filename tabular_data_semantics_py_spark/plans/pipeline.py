@@ -1,0 +1,219 @@
+"""End-to-end KG-construction pipeline with checkpoint/resume and
+per-partition lineage metrics (BASELINE.md resumability row).
+
+The reference resumes long batch jobs from incremental JSON/CSV
+checkpoints (test/validate_sampling.py:158-216, challenge_utils.py:
+399-413 append-reopen). Here every stage optionally materializes to a
+parquet checkpoint; a resumed run reads any stage whose checkpoint is
+complete (parquet ``_SUCCESS``) instead of recomputing, so a kill at
+any stage boundary resumes to byte-identical output. A manifest
+records stage order + row counts; a metrics table records per-stage,
+per-partition row counts (lineage) plus the per-row content-sha
+integrity check.
+
+Stage DAG (one wide shuffle each; SURVEY.md §7):
+  closure → cells → candidates → entity_types → cea → cta → cpa → triples
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constants import AGENT_CLASS
+from ..operators.annotate import cea as cea_op
+from ..operators.annotate import cpa as cpa_op
+from ..operators.annotate import cta as cta_op
+from ..operators.candidates import generate_candidates
+from ..operators.closure import build_closure, closure_to_map
+from ..operators.emit import emit_triples
+from ..operators.types_cascade import (
+    build_entity_types,
+    make_most_specific_udf,
+)
+from ..sources.csv_cells import parse_cells
+from ..sources.repo_source import discover_csv_artifacts
+
+STAGES = [
+    "closure", "cells", "candidates", "entity_types",
+    "cea", "cta", "cpa", "triples",
+]
+
+
+@dataclass
+class PipelineResult:
+    stages: dict[str, DataFrame] = field(default_factory=dict)
+    metrics: list[dict] = field(default_factory=list)
+
+    def __getattr__(self, name: str) -> DataFrame:
+        try:
+            return self.stages[name]
+        except KeyError as e:  # pragma: no cover
+            raise AttributeError(name) from e
+
+
+class _Checkpointer:
+    def __init__(self, spark: SparkSession, root: str | None, resume: bool):
+        self.spark = spark
+        self.root = root
+        self.resume = resume
+        self.metrics: list[dict] = []
+
+    def stage(self, name: str, compute) -> DataFrame:
+        if self.root is None:
+            # no checkpointing: localCheckpoint truncates the logical
+            # plan at the stage boundary — without it Catalyst re-analyzes
+            # the whole upstream tree (which self-references subplans and
+            # grows exponentially) on every downstream action
+            return compute().localCheckpoint()
+        path = os.path.join(self.root, name)
+        done = os.path.exists(os.path.join(path, "_SUCCESS"))
+        if self.resume and done:
+            df = self.spark.read.parquet(path)
+            self.metrics.append({"stage": name, "resumed": True})
+            return df
+        df = compute()
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        # per-partition lineage row counts (A9 metrics-table role)
+        part_counts = [
+            {"stage": name, "partition": r["pid"], "rows": r["rows"]}
+            for r in out.groupBy(
+                F.spark_partition_id().alias("pid")
+            ).agg(F.count(F.lit(1)).alias("rows")).collect()
+        ]
+        self.metrics.append(
+            {
+                "stage": name,
+                "resumed": False,
+                "rows": sum(p["rows"] for p in part_counts),
+                "partitions": part_counts,
+            }
+        )
+        return out
+
+    def finish(self) -> None:
+        if self.root is None:
+            return
+        with open(os.path.join(self.root, "manifest.json"), "w") as f:
+            json.dump({"stages": STAGES, "metrics": self.metrics}, f, indent=1)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    dfs: dict[str, DataFrame],
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    stop_after: str | None = None,
+) -> PipelineResult:
+    """dfs: the corpus tables (see sources.corpus_to_dataframes).
+
+    ``stop_after='cea'`` simulates a mid-run kill at a stage boundary;
+    a later call with the same checkpoint_dir resumes from there.
+    """
+    ck = _Checkpointer(spark, checkpoint_dir, resume)
+    res = PipelineResult()
+
+    def upto(name: str) -> bool:
+        return stop_after is not None and STAGES.index(name) > STAGES.index(stop_after)
+
+    res.stages["closure"] = ck.stage(
+        "closure",
+        lambda: build_closure(dfs["ontology_edges"], dfs["ontology_equivalent"]),
+    )
+    if upto("cells"):
+        ck.finish()
+        return res
+    res.stages["cells"] = ck.stage(
+        "cells",
+        lambda: parse_cells(discover_csv_artifacts(dfs["source_repos"])),
+    )
+
+    # per-row content-sha integrity (BASELINE.json input_hint invariant):
+    # every (path, content_sha) seen in cells must equal the sha2 of the
+    # source row's content.
+    cells = res.stages["cells"]
+    if checkpoint_dir is not None:
+        src_sha = dfs["source_repos"].select(
+            "path", F.sha2(F.col("content"), 256).alias("src_sha")
+        )
+        bad = (
+            cells.select("path", "content_sha").distinct()
+            .join(src_sha, "path", "left")
+            .where(
+                F.col("src_sha").isNull()
+                | (F.col("src_sha") != F.col("content_sha"))
+            )
+            .count()
+        )
+        ck.metrics.append({"stage": "sha_integrity", "mismatches": bad})
+
+    if upto("candidates"):
+        ck.finish()
+        return res
+    data = cells.where(F.col("row") >= 0)
+    cells_m_holder: dict[str, DataFrame] = {}
+
+    def _cands() -> DataFrame:
+        cm, cand = generate_candidates(data, dfs["entity_index"])
+        cells_m_holder["cells_m"] = cm
+        return cand
+
+    res.stages["candidates"] = ck.stage("candidates", _cands)
+    if "cells_m" not in cells_m_holder:
+        cm, _ = generate_candidates(data, dfs["entity_index"])
+        cells_m_holder["cells_m"] = cm
+    cells_m = cells_m_holder["cells_m"]
+
+    closure_map = closure_to_map(res.stages["closure"])
+
+    if upto("entity_types"):
+        ck.finish()
+        return res
+    res.stages["entity_types"] = ck.stage(
+        "entity_types",
+        lambda: build_entity_types(
+            dfs["entity_index"], dfs["kg_triples"], dfs["property_meta"],
+            res.stages["closure"], closure_map,
+        ),
+    )
+    if upto("cea"):
+        ck.finish()
+        return res
+    res.stages["cea"] = ck.stage(
+        "cea",
+        lambda: cea_op(
+            cells_m, res.stages["candidates"], res.stages["entity_types"]
+        ),
+    )
+    if upto("cta"):
+        ck.finish()
+        return res
+    ms_udf = make_most_specific_udf(closure_map, AGENT_CLASS)
+    res.stages["cta"] = ck.stage(
+        "cta",
+        lambda: cta_op(
+            res.stages["cea"], res.stages["entity_types"], ms_udf,
+            res.stages["closure"],
+        ),
+    )
+    if upto("cpa"):
+        ck.finish()
+        return res
+    res.stages["cpa"] = ck.stage(
+        "cpa", lambda: cpa_op(res.stages["cea"], dfs["kg_triples"])
+    )
+    if upto("triples"):
+        ck.finish()
+        return res
+    res.stages["triples"] = ck.stage(
+        "triples",
+        lambda: emit_triples(cells, res.stages["cea"], res.stages["cta"]),
+    )
+    ck.finish()
+    res.metrics = ck.metrics
+    return res

@@ -1,0 +1,113 @@
+"""CSV artifact → exploded cells DataFrame (SURVEY.md §2.1 S1).
+
+The reference reads CSV files row-by-row on one thread
+(oaei/tabular2rdf.py:177-239). Here each *partition* of the source
+table parses its artifacts inside ``mapInPandas`` (Arrow-batched; the
+``csv`` module runs once per artifact, never per cell), emitting one
+output row per cell. Parse semantics are pinned to the reference:
+
+- delimiter=',', quotechar='"', escapechar='\\'
+  (test/challenge_utils.py:534)
+- first row is the header (oaei/tabular2rdf.py:202-210)
+- short rows are skipped (oaei/tabular2rdf.py:213-215); long rows are
+  truncated to the header width
+- ``row`` is the 0-based physical data-row index (header excluded,
+  skipped rows still counted) so lineage survives the skip
+
+Scale note: the input is hash-partitioned by (repo, path) upstream;
+one artifact never spans partitions, so the parse is embarrassingly
+parallel and the only shuffle in the whole parse stage is the source
+scan itself. ``content_sha`` is computed JVM-side with ``sha2`` before
+Python ever touches the row, giving the per-row integrity invariant
+(BASELINE.json input_hint) for free.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CELLS_SCHEMA = StructType(
+    [
+        StructField("table_id", StringType(), False),
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), False),
+        StructField("content_sha", StringType(), False),
+        StructField("row", IntegerType(), False),  # -1 = header row
+        StructField("col", IntegerType(), False),
+        StructField("cell", StringType(), False),
+        StructField("n_cols", IntegerType(), False),
+    ]
+)
+
+
+def _parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {f.name: [] for f in CELLS_SCHEMA.fields}
+        for table_id, repo, path, commit, sha, content in zip(
+            pdf["table_id"], pdf["repo"], pdf["path"], pdf["commit"],
+            pdf["content_sha"], pdf["content"],
+        ):
+            reader = csv.reader(
+                io.StringIO(content), delimiter=",", quotechar='"',
+                escapechar="\\",
+            )
+            rows = list(reader)
+            if not rows:
+                continue
+            header = rows[0]
+            n_cols = len(header)
+
+            def emit(r: int, c: int, cell: str) -> None:
+                out["table_id"].append(table_id)
+                out["repo"].append(repo)
+                out["path"].append(path)
+                out["commit"].append(commit)
+                out["content_sha"].append(sha)
+                out["row"].append(r)
+                out["col"].append(c)
+                out["cell"].append(cell)
+                out["n_cols"].append(n_cols)
+
+            for c, h in enumerate(header):
+                emit(-1, c, h)
+            for i, row in enumerate(rows[1:]):
+                if len(row) < n_cols:  # skip-don't-fail (tabular2rdf.py:213-215)
+                    continue
+                for c, cell in enumerate(row[:n_cols]):
+                    emit(i, c, cell)
+        yield pd.DataFrame(out)
+
+
+def parse_cells(artifacts: DataFrame) -> DataFrame:
+    """artifacts (from discover_csv_artifacts) → cells DataFrame.
+
+    Returns header rows as row == -1; use ``headers_of`` / filter
+    ``row >= 0`` for data cells.
+    """
+    with_sha = artifacts.withColumn("content_sha", F.sha2(F.col("content"), 256))
+    cols = ["table_id", "repo", "path", "commit", "content_sha", "content"]
+    return with_sha.select(*cols).mapInPandas(_parse_partition, CELLS_SCHEMA)
+
+
+def headers_of(cells: DataFrame) -> DataFrame:
+    return (
+        cells.where(F.col("row") == -1)
+        .select("table_id", "col", F.col("cell").alias("header"), "n_cols")
+    )
+
+
+def data_cells(cells: DataFrame) -> DataFrame:
+    return cells.where(F.col("row") >= 0)
