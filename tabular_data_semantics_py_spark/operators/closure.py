@@ -24,13 +24,14 @@ from pyspark.sql import functions as F
 def build_closure(
     edges: DataFrame,
     equivalent: DataFrame | None = None,
-    max_doublings: int = 5,
+    max_doublings: int = 4,
 ) -> DataFrame:
     """edges(class_uri, parent_uri) [+ equivalent(a, b)] →
     closure(class_uri, ancestor_uri, depth) with minimal depth.
 
     ``max_doublings`` bounds path length at 2^max_doublings edges —
-    32 by default, deeper than any real class hierarchy.
+    16 by default, deeper than any real class hierarchy (dbpedia.owl
+    tops out at depth ~8).
     """
     step = edges.select(
         F.col("class_uri").alias("src"),
@@ -51,6 +52,10 @@ def build_closure(
 
     clo = step.groupBy("src", "dst").agg(F.min("depth").alias("depth"))
     for _ in range(max_doublings):
+        # truncate lineage each round: the self-join doubles the plan
+        # tree per iteration, so without this Catalyst analysis cost is
+        # O(2^iterations) even though the data is tiny
+        clo = clo.localCheckpoint()
         hop = (
             clo.alias("l")
             .join(clo.alias("r"), F.col("l.dst") == F.col("r.src"))
