@@ -1,0 +1,995 @@
+"""Query registry backing ``__spark_entry__.py``.
+
+Two query families:
+
+1. ``kg_*`` — the KG-construction operators (SURVEY.md §2) running on
+   the deterministic fixture corpus (BASELINE.json: no external data;
+   the corpus is synthesized in-process, seed=42). Oracle SQL embeds
+   the fixture as VALUES CTEs and either re-implements the operator in
+   ANSI SQL (closure, emission, voting, most-specific…) or pins the
+   plain-Python oracle's goldens (CEA/CTA/CPA decisions).
+2. testdata queries — relational / dedup / similarity / text-analysis
+   operators over the driver's parquet tables (region nation customer
+   supplier part orders lineitem events documents embeddings), with
+   straight SQL oracles.
+
+Numeric discipline (driver hashes values exactly):
+- count-like outputs cast to bigint (DuckDB count/len are BIGINT)
+- decimal-accumulated sums cast to double at the end (exact decimal
+  arithmetic both engines, one deterministic final conversion)
+- ratios/cosines as single IEEE-double operations in both engines
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import constants as C
+from .fixtures.generator import make_corpus
+from .fixtures.oracle import OracleExecutor
+
+# ---------------------------------------------------------------------------
+# fixture state (lazy, deterministic)
+# ---------------------------------------------------------------------------
+_STATE: dict = {}
+
+
+def _fixture():
+    if "corpus" not in _STATE:
+        corpus = make_corpus()
+        ex = OracleExecutor(corpus)
+        gold = ex.run()
+        _STATE.update(corpus=corpus, ex=ex, gold=gold)
+    return _STATE["corpus"], _STATE["ex"], _STATE["gold"]
+
+
+def _pipeline(spark: SparkSession):
+    key = ("pipe", id(spark))
+    if key not in _STATE:
+        from .plans.pipeline import run_pipeline
+        from .sources.repo_source import corpus_to_dataframes
+
+        corpus, _, _ = _fixture()
+        dfs = corpus_to_dataframes(spark, corpus)
+        _STATE[("dfs", id(spark))] = dfs
+        _STATE[key] = run_pipeline(spark, dfs)
+    return _STATE[key]
+
+
+def _dfs(spark: SparkSession):
+    _pipeline(spark)
+    return _STATE[("dfs", id(spark))]
+
+
+# ---------------------------------------------------------------------------
+# SQL helpers
+# ---------------------------------------------------------------------------
+
+def _s(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _values(rows, cols: str) -> str:
+    body = ",\n".join("(" + ", ".join(_s(v) for v in r) + ")" for r in rows)
+    return f"(VALUES\n{body}\n) AS t({cols})"
+
+
+def _tbl(sf_dir_placeholder: str = "") -> str:
+    # driver pre-registers parquet tables as views; fixture queries
+    # never touch them
+    return sf_dir_placeholder
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, Callable[[], str]] = {}
+
+
+def q(name: str, oracle: Callable[[], str] | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# ===========================================================================
+# KG fixture queries (SURVEY.md §2 operators)
+# ===========================================================================
+
+def _o_cells():
+    _, _, gold = _fixture()
+    return (
+        'SELECT table_id, r AS "row", c AS col, cell FROM '
+        + _values(gold.cells, "table_id, r, c, cell")
+    )
+
+
+@q("kg_cells_parse", _o_cells)
+def kg_cells_parse(spark, sf_dir):
+    """S1: CSV artifact scan + cell explode (tabular2rdf.py:177-239)."""
+    cells = _pipeline(spark).stages["cells"]
+    return cells.where(F.col("row") >= 0).select("table_id", "row", "col", "cell")
+
+
+def _o_sha():
+    corpus, _, _ = _fixture()
+    rows = [(r, p, c) for (r, p, _cm, lang, c) in corpus.repos if lang == "csv"]
+    return (
+        "SELECT repo, path, sha256(content) AS content_sha FROM "
+        + _values(rows, "repo, path, content")
+    )
+
+
+@q("kg_sha_integrity", _o_sha)
+def kg_sha_integrity(spark, sf_dir):
+    """Per-row content sha256 invariant (BASELINE.json input_hint) —
+    computed JVM-side with sha2 at the scan."""
+    dfs = _dfs(spark)
+    return (
+        dfs["source_repos"].where(F.col("lang") == "csv")
+        .select("repo", "path", F.sha2(F.col("content"), 256).alias("content_sha"))
+    )
+
+
+def _o_closure():
+    corpus, _, _ = _fixture()
+    edges = [(c, p, 1) for c, p in corpus.edges]
+    eq = [(a, b, 0) for a, b in corpus.equivalent] + [
+        (b, a, 0) for a, b in corpus.equivalent
+    ]
+    return f"""
+WITH RECURSIVE step(src, dst, depth) AS (
+  SELECT * FROM {_values(edges + eq, "src, dst, depth")}
+),
+walk(src, dst, depth, steps) AS (
+  SELECT src, dst, depth, 1 FROM step
+  UNION ALL
+  SELECT w.src, s.dst, w.depth + s.depth, w.steps + 1
+  FROM walk w JOIN step s ON w.dst = s.src
+  WHERE w.steps < 16 AND w.src <> s.dst
+)
+SELECT src AS class_uri, dst AS ancestor_uri,
+       CAST(MIN(depth) AS INTEGER) AS depth
+FROM walk WHERE src <> dst GROUP BY src, dst
+"""
+
+
+@q("kg_closure", _o_closure)
+def kg_closure(spark, sf_dir):
+    """J6/J7: transitive subsumption closure with min-depth
+    (kg/endpoints.py:481-525) via self-join doubling."""
+    return _pipeline(spark).stages["closure"]
+
+
+def _o_redirects():
+    corpus, _, _ = _fixture()
+    rows = [(e.uri, e.redirect_to) for e in corpus.entities]
+    return f"""
+WITH idx(uri, rto) AS (SELECT * FROM {_values(rows, "uri, rto")})
+SELECT a.uri,
+       COALESCE(c.uri, b.uri, a.uri) AS final_uri
+FROM idx a
+LEFT JOIN idx b ON a.rto = b.uri
+LEFT JOIN idx c ON b.rto = c.uri
+"""
+
+
+@q("kg_redirects", _o_redirects)
+def kg_redirects(spark, sf_dir):
+    """J3: bounded 2-hop redirect resolution
+    (challenge_utils.py:441-453)."""
+    idx = _dfs(spark)["entity_index"]
+    red = idx.select(F.col("uri").alias("r_src"), F.col("redirect_to").alias("r_dst"))
+    out = idx.select("uri", F.col("uri").alias("final_uri"))
+    for _ in range(C.REDIRECT_MAX_HOPS):
+        out = (
+            out.join(red, out.final_uri == red.r_src, "left")
+            .select("uri", F.coalesce("r_dst", "final_uri").alias("final_uri"))
+        )
+    return out
+
+
+def _o_candidates():
+    _, ex, gold = _fixture()
+    seen = set()
+    rows = []
+    for key in sorted(gold.candidates):
+        norm = gold.mention_norm[key]
+        if norm in seen:
+            continue
+        seen.add(norm)
+        for rank, (uri, _score) in enumerate(gold.candidates[key], 1):
+            rows.append((norm, uri, rank))
+    return (
+        "SELECT mention_norm, uri, cand_rank FROM "
+        + _values(rows, "mention_norm, uri, cand_rank")
+    )
+
+
+@q("kg_candidates", _o_candidates)
+def kg_candidates(spark, sf_dir):
+    """J1+T1: mention → ranked candidate entities (exact + token-
+    blocked fuzzy + redirects + windowed top-k)."""
+    return (
+        _pipeline(spark).stages["candidates"]
+        .select("mention_norm", "uri", "cand_rank")
+    )
+
+
+def _o_entity_types():
+    corpus, ex, _ = _fixture()
+    rows = []
+    for e in corpus.entities:
+        ts = sorted(ex.types_for_entity(e.uri))
+        rows.append((e.uri, " ".join(ts)))
+    return "SELECT uri, types_str FROM " + _values(rows, "uri, types_str")
+
+
+@q("kg_entity_types", _o_entity_types)
+def kg_entity_types(spark, sf_dir):
+    """D1-D6: the full type-enrichment cascade, ancestor-expanded."""
+    return (
+        _pipeline(spark).stages["entity_types"]
+        .select("uri", F.concat_ws(" ", F.col("types")).alias("types_str"))
+    )
+
+
+def _o_most_specific():
+    corpus, ex, _ = _fixture()
+    et_rows = []
+    for e in corpus.entities:
+        for t in sorted(ex.types_for_entity(e.uri)):
+            et_rows.append((e.uri, t))
+    clo_rows = [
+        (c, a, d)
+        for c, ancs in ex.closure.items()
+        for a, d in sorted(ancs.items())
+    ]
+    return f"""
+WITH et(uri, t) AS (SELECT * FROM {_values(et_rows, "uri, t")}),
+clo(c, a, d) AS (SELECT * FROM {_values(clo_rows, "c, a, d")}),
+keep AS (
+  SELECT e.uri, e.t FROM et e
+  WHERE e.t <> {_s(C.AGENT_CLASS)}
+    AND NOT EXISTS (
+      SELECT 1 FROM et e2
+      JOIN clo ON clo.c = e2.t AND clo.a = e.t AND clo.d >= 1
+      WHERE e2.uri = e.uri AND e2.t <> e.t
+        AND e2.t <> {_s(C.AGENT_CLASS)}
+    )
+)
+SELECT uri, string_agg(t, ' ' ORDER BY t) AS ms_types FROM keep GROUP BY uri
+"""
+
+
+@q("kg_most_specific", _o_most_specific)
+def kg_most_specific(spark, sf_dir):
+    """A2: most-specific-class reduction (challenge_utils.py:196-245)."""
+    from .operators.closure import closure_to_map
+    from .operators.types_cascade import make_most_specific_udf
+
+    pipe = _pipeline(spark)
+    ms_udf = make_most_specific_udf(
+        closure_to_map(pipe.stages["closure"]), C.AGENT_CLASS
+    )
+    return (
+        pipe.stages["entity_types"]
+        .select("uri", ms_udf(F.col("types")).alias("ms"))
+        .where(F.size("ms") > 0)
+        .select("uri", F.concat_ws(" ", F.col("ms")).alias("ms_types"))
+    )
+
+
+def _o_cea():
+    _, _, gold = _fixture()
+    return (
+        'SELECT table_id, c AS col, r AS "row", uri FROM '
+        + _values(gold.cea, "table_id, c, r, uri")
+    )
+
+
+@q("kg_cea", _o_cea)
+def kg_cea(spark, sf_dir):
+    """EP2/D-cascade: final cell-entity annotations."""
+    return _pipeline(spark).stages["cea"].select("table_id", "col", "row", "uri")
+
+
+def _o_cta():
+    _, _, gold = _fixture()
+    return (
+        "SELECT table_id, c AS col, cls, ancestors FROM "
+        + _values(gold.cta, "table_id, c, cls, ancestors")
+    )
+
+
+@q("kg_cta", _o_cta)
+def kg_cta(spark, sf_dir):
+    """A2-A5: column-type annotation + ancestor expansion."""
+    return _pipeline(spark).stages["cta"].select("table_id", "col", "cls", "ancestors")
+
+
+def _o_cta_votes():
+    _, ex, gold = _fixture()
+    # independent SQL vote: explode gold CEA through oracle
+    # most-specific type sets, count per (table, col, type)
+    ms_rows = []
+    seen = set()
+    for (_tid, _c, _r), uri in [
+        ((t, c, r), u) for (t, c, r, u) in gold.cea
+    ]:
+        if uri in seen:
+            continue
+        seen.add(uri)
+        for t in sorted(ex.most_specific(ex.types_for_entity(uri))):
+            ms_rows.append((uri, t))
+    cea_rows = [(t, c, r, u) for (t, c, r, u) in gold.cea]
+    return f"""
+WITH cea(table_id, c, r, uri) AS (SELECT * FROM {_values(cea_rows, "table_id, c, r, uri")}),
+ms(uri, t) AS (SELECT * FROM {_values(ms_rows, "uri, t")})
+SELECT cea.table_id, cea.c AS col, ms.t AS cls, COUNT(*) AS votes
+FROM cea JOIN ms ON cea.uri = ms.uri
+GROUP BY 1, 2, 3
+"""
+
+
+@q("kg_cta_votes", _o_cta_votes)
+def kg_cta_votes(spark, sf_dir):
+    """A3: raw type-vote counts per column (challenge_utils.py:121-126)
+    — verified against an independent SQL GROUP BY."""
+    from .operators.closure import closure_to_map
+    from .operators.types_cascade import make_most_specific_udf
+
+    pipe = _pipeline(spark)
+    ms_udf = make_most_specific_udf(
+        closure_to_map(pipe.stages["closure"]), C.AGENT_CLASS
+    )
+    ms = pipe.stages["entity_types"].select(
+        "uri", F.explode(ms_udf(F.col("types"))).alias("cls")
+    )
+    return (
+        pipe.stages["cea"].join(ms, "uri")
+        .groupBy("table_id", "col", "cls")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+
+
+def _o_cpa():
+    _, _, gold = _fixture()
+    return (
+        "SELECT table_id, cs AS col_subj, co AS col_obj, pred FROM "
+        + _values(gold.cpa, "table_id, cs, co, pred")
+    )
+
+
+@q("kg_cpa", _o_cpa)
+def kg_cpa(spark, sf_dir):
+    """CPA: predicate voting between entity columns."""
+    return _pipeline(spark).stages["cpa"]
+
+
+def _o_triples():
+    corpus, _, gold = _fixture()
+    hdr_rows = []
+    for t in corpus.tables:
+        for i, h in enumerate(t.header):
+            hdr_rows.append((t.table_id, i, h))
+    cea_rows = [(t, c, r, u) for (t, c, r, u) in gold.cea if c == 0]
+    cta_rows = [(t, cls) for (t, c, cls, _a) in gold.cta if c == 0]
+    B = C.TABLE_BASE
+    return f"""
+WITH cells(table_id, r, c, cell) AS (SELECT * FROM {_values(gold.cells, "table_id, r, c, cell")}),
+hdr(table_id, c, header) AS (SELECT * FROM {_values(hdr_rows, "table_id, c, header")}),
+cea(table_id, c, r, uri) AS (SELECT * FROM {_values(cea_rows, "table_id, c, r, uri")}),
+cta(table_id, cls) AS (SELECT * FROM {_values(cta_rows, "table_id, cls")}),
+rows_present AS (
+  SELECT table_id, r, MAX(CASE WHEN c = 0 THEN cell END) AS main_cell
+  FROM cells GROUP BY table_id, r HAVING MAX(length(cell)) > 0
+),
+base AS (
+  SELECT {_s(B)} || table_id || '-col-' || c AS subj,
+         {_s(C.RDF_TYPE)} AS pred, {_s(C.OWL_DATATYPE_PROPERTY)} AS obj,
+         FALSE AS obj_is_literal
+  FROM hdr
+  UNION ALL
+  SELECT {_s(B)} || table_id || '-col-' || c, {_s(C.RDFS_LABEL)}, header, TRUE
+  FROM hdr
+  UNION ALL
+  SELECT {_s(B)} || table_id || '-col-0-row-' || r, {_s(C.RDF_TYPE)},
+         {_s(C.OWL_NAMED_INDIVIDUAL)}, FALSE FROM rows_present
+  UNION ALL
+  SELECT {_s(B)} || table_id || '-col-0-row-' || r, {_s(C.RDFS_LABEL)},
+         main_cell, TRUE FROM rows_present WHERE length(main_cell) > 0
+  UNION ALL
+  SELECT {_s(B)} || table_id || '-col-0-row-' || r, {_s(C.ANN_TABLE)},
+         table_id, TRUE FROM rows_present
+  UNION ALL
+  SELECT {_s(B)} || table_id || '-col-0-row-' || r, {_s(C.ANN_COLUMN)},
+         '0', TRUE FROM rows_present
+  UNION ALL
+  SELECT {_s(B)} || table_id || '-col-0-row-' || r, {_s(C.ANN_ROW)},
+         CAST(r AS VARCHAR), TRUE FROM rows_present
+  UNION ALL
+  SELECT {_s(B)} || table_id || '-col-0-row-' || r,
+         {_s(B)} || table_id || '-col-' || c, cell, TRUE
+  FROM cells WHERE c > 0 AND length(cell) > 0
+  UNION ALL
+  SELECT {_s(B)} || table_id || '-col-0-row-' || r, {_s(C.OWL_SAMEAS)},
+         uri, FALSE FROM cea
+  UNION ALL
+  SELECT {_s(B)} || rp.table_id || '-col-0-row-' || rp.r, {_s(C.RDF_TYPE)},
+         cta.cls, FALSE
+  FROM rows_present rp JOIN cta ON rp.table_id = cta.table_id
+)
+SELECT DISTINCT subj, pred, obj, obj_is_literal FROM base
+"""
+
+
+@q("kg_triples", _o_triples)
+def kg_triples(spark, sf_dir):
+    """E1-E4: triple emission (tabular2rdf.py:120-172) — oracle is a
+    full SQL re-implementation of the minting scheme."""
+    return _pipeline(spark).stages["triples"]
+
+
+def _o_property_kind():
+    corpus, _, _ = _fixture()
+    return f"""
+WITH tr(subj, pred, obj, lit) AS (SELECT * FROM {_values(corpus.triples, "subj, pred, obj, lit")})
+SELECT pred,
+       CAST(SUM(CASE WHEN obj LIKE 'http%' THEN 1 ELSE 0 END) AS BIGINT) AS n_uri,
+       COUNT(*) AS n_total,
+       (2 * SUM(CASE WHEN obj LIKE 'http%' THEN 1 ELSE 0 END) > COUNT(*)) AS is_object
+FROM tr GROUP BY pred
+"""
+
+
+@q("kg_property_kind", _o_property_kind)
+def kg_property_kind(spark, sf_dir):
+    """A6: object-vs-datatype property inference — majority of values
+    starting with 'http' (dbpedia_fragment.py:469-499), integer-count
+    formulation so the threshold is exact."""
+    tr = _dfs(spark)["kg_triples"]
+    is_uri = F.when(F.col("obj").startswith("http"), 1).otherwise(0)
+    return (
+        tr.groupBy("pred")
+        .agg(
+            F.sum(is_uri).cast("long").alias("n_uri"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .withColumn("is_object", 2 * F.col("n_uri") > F.col("n_total"))
+    )
+
+
+def _o_pred_freq():
+    corpus, _, _ = _fixture()
+    return f"""
+SELECT pred, COUNT(*) AS n
+FROM {_values(corpus.triples, "subj, pred, obj, lit")}
+GROUP BY pred
+"""
+
+
+@q("kg_pred_freq", _o_pred_freq)
+def kg_pred_freq(spark, sf_dir):
+    """A7: predicate frequency stats (validate_sampling.py:244-297)."""
+    return (
+        _dfs(spark)["kg_triples"].groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _o_neighborhood():
+    corpus, _, _ = _fixture()
+    avoid = ", ".join(_s(p) for p in sorted(C.AVOID_PREDICATES))
+    return f"""
+WITH tr(subj, pred, obj, lit) AS (SELECT * FROM {_values(corpus.triples, "subj, pred, obj, lit")}),
+ranked AS (
+  SELECT subj, pred, obj,
+         ROW_NUMBER() OVER (PARTITION BY subj ORDER BY pred, obj) AS rn
+  FROM tr WHERE pred NOT IN ({avoid})
+)
+SELECT subj, pred, obj FROM ranked WHERE rn <= 5
+"""
+
+
+@q("kg_neighborhood", _o_neighborhood)
+def kg_neighborhood(spark, sf_dir):
+    """J11: per-entity neighborhood triples, predicate-blocklist
+    filtered, capped per entity (kg/endpoints.py:317-338 LIMIT)."""
+    tr = _dfs(spark)["kg_triples"]
+    w = Window.partitionBy("subj").orderBy("pred", "obj")
+    return (
+        tr.where(~F.col("pred").isin(*sorted(C.AVOID_PREDICATES)))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("subj", "pred", "obj")
+    )
+
+
+# ===========================================================================
+# relational operators over the driver's testdata (TPC-H-ish)
+# ===========================================================================
+
+@q(
+    "pricing_summary",
+    lambda: """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — exercises map-side partial
+    aggregation; decimal accumulation for cross-engine exactness."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        ).cast("double").alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "top_orders_per_customer",
+    lambda: """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+""",
+)
+def top_orders_per_customer(spark, sf_dir):
+    """T1-style top-k per group (window)."""
+    o = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@q(
+    "priority_vote_per_customer",
+    lambda: """
+SELECT o_custkey, o_orderpriority, votes FROM (
+  SELECT o_custkey, o_orderpriority, COUNT(*) AS votes,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY o_custkey, o_orderpriority
+) WHERE rn = 1
+""",
+)
+def priority_vote_per_customer(spark, sf_dir):
+    """A3/A4 voting+argmax semantics on testdata: most frequent order
+    priority per customer, pinned lexicographic tie-break."""
+    o = _load(spark, sf_dir, "orders")
+    votes = o.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("votes"), F.asc("o_orderpriority")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderpriority", "votes")
+    )
+
+
+@q(
+    "region_acctbal_rollup",
+    lambda: """
+SELECT r.r_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def region_acctbal_rollup(spark, sf_dir):
+    """Dimension joins (broadcast) + rollup."""
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@q(
+    "order_revenue_topk",
+    lambda: """
+SELECT o_orderkey, revenue, rnk FROM (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         ROW_NUMBER() OVER (
+           ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) DESC,
+                    l_orderkey) AS rnk
+  FROM lineitem GROUP BY l_orderkey
+) WHERE rnk <= 10
+""",
+)
+def order_revenue_topk(spark, sf_dir):
+    """Aggregate + global top-k with deterministic tie-break."""
+    li = _load(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        ).alias("rev_dec")
+    )
+    w = Window.orderBy(F.desc("rev_dec"), F.asc("o_orderkey"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "o_orderkey", F.col("rev_dec").cast("double").alias("revenue"), "rnk"
+        )
+    )
+
+
+@q(
+    "events_hourly",
+    lambda: """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (batch form of the Structured
+    Streaming hourly rollup in streaming/events.py)."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@q(
+    "events_sessions",
+    lambda: """
+WITH gaps AS (
+  SELECT user_id, event_id,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+              OR lag(epoch_ms(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM gaps GROUP BY user_id
+""",
+)
+def events_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via window lag —
+    the batch analogue of stateful streaming session windows."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; session tz is UTC, so the cast is lossless
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev = F.lag(ms).over(w)
+    is_start = F.when(
+        prev.isNull() | ((ms - prev) > 1_800_000), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("is_start", is_start)
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_start").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ===========================================================================
+# dedup / similarity / text-analysis (training-data pipeline operators)
+# ===========================================================================
+
+@q(
+    "doc_dedup_exact",
+    lambda: """
+SELECT sha256(text) AS text_sha, COUNT(*) AS n_docs,
+       MIN(doc_id) AS canonical_id
+FROM documents GROUP BY sha256(text)
+""",
+)
+def doc_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy with deterministic survivor pick."""
+    from .operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_load(spark, sf_dir, "documents"))
+
+
+_JACCARD_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j,
+         len(list_intersect(a.words, b.words)) AS inter,
+         len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)) AS uni
+  FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+)
+SELECT i, j, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
+FROM pairs WHERE inter >= {t} * uni
+"""
+
+
+@q("doc_jaccard_pairs", lambda: _JACCARD_ORACLE.format(t="0.95"))
+def doc_jaccard_pairs(spark, sf_dir):
+    """Exact word-set Jaccard near-dup pairs (threshold 0.95) via
+    token inverted-index self-join; integer inter/union outputs."""
+    from .operators.dedup import jaccard_pairs
+
+    d = jaccard_pairs(_load(spark, sf_dir, "documents"), 0.95)
+    return d.select(
+        "i", "j", F.col("inter").cast("long").alias("inter"),
+        F.col("uni").cast("long").alias("uni"),
+    )
+
+
+@q("doc_minhash_lsh", lambda: _JACCARD_ORACLE.format(t="0.9"))
+def doc_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup detection (16 hashes, 1-row bands →
+    P(miss at j≥0.9) ≤ 1e-16) + exact-Jaccard verification; output
+    must equal the exact pairwise oracle."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"), 0.9, n_hashes=16, rows_per_band=1
+    )
+    return d.select(
+        "i", "j", F.col("inter").cast("long").alias("inter"),
+        F.col("uni").cast("long").alias("uni"),
+    )
+
+
+@q(
+    "doc_token_stats",
+    lambda: """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+)
+def doc_token_stats(spark, sf_dir):
+    from .functions.text import token_stats
+
+    t = token_stats(_load(spark, sf_dir, "documents"))
+    return t.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@q(
+    "doc_quality",
+    lambda: """
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','a','of','to','in','and','is'))) AS n_stopwords,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_stopwords AS BIGINT) AS n_stopwords,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio
+FROM f
+""",
+)
+def doc_quality(spark, sf_dir):
+    from .functions.text import quality_features
+
+    qf = quality_features(_load(spark, sf_dir, "documents"))
+    return qf.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_stopwords").cast("long").alias("n_stopwords"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "stopword_ratio", "distinct_ratio",
+    )
+
+
+def _o_lang_id():
+    from .functions.text import LANG_MARKERS
+
+    marker_rows = [
+        (lang, m) for lang, ms in sorted(LANG_MARKERS.items()) for m in ms
+    ]
+    langs = sorted(LANG_MARKERS)
+    return f"""
+WITH markers(lang, tok) AS (SELECT * FROM {_values(marker_rows, "lang, tok")}),
+langs(lang) AS (SELECT DISTINCT lang FROM markers),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+hits AS (
+  SELECT t.doc_id, m.lang, COUNT(*) AS h
+  FROM toks t JOIN markers m ON t.tok = m.tok GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.doc_id, l.lang, COALESCE(h.h, 0) AS h
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN langs l
+  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.lang = l.lang
+),
+ranked AS (
+  SELECT doc_id, lang, h,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, lang) AS rn
+  FROM scored
+)
+SELECT doc_id, lang AS predicted_lang, CAST(h AS BIGINT) AS marker_hits
+FROM ranked WHERE rn = 1
+"""
+
+
+@q("doc_lang_id", _o_lang_id)
+def doc_lang_id(spark, sf_dir):
+    from .functions.text import lang_id
+
+    li = lang_id(_load(spark, sf_dir, "documents"))
+    return li.select(
+        "doc_id", "predicted_lang",
+        F.col("marker_hits").cast("long").alias("marker_hits"),
+    )
+
+
+@q(
+    "doc_fingerprint",
+    lambda: """
+SELECT doc_id,
+       sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+FROM documents
+""",
+)
+def doc_fingerprint(spark, sf_dir):
+    from .functions.text import fingerprint
+
+    return fingerprint(_load(spark, sf_dir, "documents"))
+
+
+_COS = (
+    "list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+@q(
+    "emb_cosine_pairs",
+    lambda: f"""
+SELECT a.vec_id AS i, b.vec_id AS j
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS} >= 0.4
+""",
+)
+def emb_cosine_pairs(spark, sf_dir):
+    """Embedding near-dup pairs: brute-force cosine ≥ 0.4."""
+    from .operators.similarity import cosine_pairs
+
+    return cosine_pairs(_load(spark, sf_dir, "embeddings"), 0.4)
+
+
+@q(
+    "emb_knn",
+    lambda: f"""
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_COS} DESC, b.vec_id) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 20
+) WHERE rank <= 3
+""",
+)
+def emb_knn(spark, sf_dir):
+    """Exact top-3 cosine neighbors for query ids 0..19 (ANN
+    correctness baseline)."""
+    from .operators.similarity import knn_bruteforce
+
+    return knn_bruteforce(
+        _load(spark, sf_dir, "embeddings"), list(range(20)), k=3
+    )
+
+
+# --- rows-only operators (no SQL-expressible oracle) -----------------------
+
+@q("doc_minhash_signatures")
+def doc_minhash_signatures(spark, sf_dir):
+    """MinHash signatures, fully JVM-side (xxhash64 min-agg) — the
+    signature half of the LSH dedup path. xxhash64 has no DuckDB
+    equivalent → rows-only check."""
+    from .operators.dedup import minhash_signatures
+
+    return minhash_signatures(_load(spark, sf_dir, "documents"), n_hashes=8)
+
+
+@q("doc_simhash")
+def doc_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints (numpy pandas UDF) — rows-only."""
+    from .operators.dedup import simhash64
+
+    return simhash64(_load(spark, sf_dir, "documents"))
+
+
+@q("media_meta")
+def media_meta(spark, sf_dir):
+    """Multimodal binary-column plumbing: synth payloads + mapInPandas
+    metadata extraction (decode stubbed, see operators/multimodal.py)."""
+    from .operators.multimodal import extract_media_meta, synth_media
+
+    return extract_media_meta(synth_media(_load(spark, sf_dir, "documents")))
+
+
+@q("emb_ivf_knn")
+def emb_ivf_knn(spark, sf_dir):
+    """IVF-bucketed approximate kNN (numpy GEMM in mapInPandas) —
+    approximate by construction → rows-only."""
+    from .operators.similarity import ivf_knn
+
+    return ivf_knn(
+        _load(spark, sf_dir, "embeddings"), spark, list(range(20)), k=3
+    )
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """The end-to-end KG pipeline on the fixture corpus → emitted
+    canonical triples (driver smoke check)."""
+    return _pipeline(spark).stages["triples"]
+
+
+def oracle_sql_strings() -> dict[str, str]:
+    return {name: build() for name, build in ORACLES.items()}

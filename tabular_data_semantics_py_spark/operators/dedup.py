@@ -1,0 +1,222 @@
+"""Document deduplication operators for large-scale training-data
+pipelines: exact (hash-groupBy), word-set Jaccard (exact pairwise via
+token inverted index), MinHash+LSH (banded bucket join + exact
+verify), and SimHash fingerprints.
+
+Scale design notes
+------------------
+- exact dedup: one groupBy on ``sha2(text, 256)`` — JVM-side hash,
+  map-side partial agg, no Python.
+- exact Jaccard: inverted-index self-join on tokens. The per-token
+  fan-out is bounded by token document frequency; at web scale you cap
+  hot tokens (stopword df cutoff) — exposed as ``max_token_df``.
+- MinHash: signatures computed *entirely JVM-side* — explode tokens,
+  ``min(xxhash64(token, seed_i))`` per seed — no Python UDF in the
+  signature path. LSH bands then bucket-join signature slices;
+  candidates are verified with exact Jaccard so precision is 1 and
+  recall is governed by (n_hashes, rows_per_band).
+- SimHash: vectorized numpy pandas UDF (bit tricks don't fit Spark
+  expressions cleanly); output is a 64-bit fingerprint column.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+def exact_dedup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (text_sha, n_docs, canonical_id): one row per distinct text;
+    canonical doc = min id (deterministic survivor pick)."""
+    return (
+        docs.select(
+            F.sha2(F.col(text_col), 256).alias("text_sha"),
+            F.col(id_col).alias("id"),
+        )
+        .groupBy("text_sha")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("id").alias("canonical_id"),
+        )
+    )
+
+
+def word_sets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("words"),
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Exact word-set Jaccard near-dup pairs (i < j) with integer
+    intersection/union sizes (robust to FP hashing) — the correctness
+    baseline the LSH variant is verified against.
+
+    ``max_token_df``: drop tokens appearing in more than this many
+    docs from the *pairing* index (hot-token cap for scale); the
+    Jaccard itself stays exact because set sizes come from the full
+    sets and the intersection is re-counted per pair over all shared
+    tokens — only pairs sharing *solely* capped tokens can be missed,
+    which is the documented recall trade-off at web scale. Default
+    None = fully exact.
+    """
+    ws = word_sets(docs, text_col, id_col)
+    sizes = ws.select("id", F.size("words").alias("n"))
+    tok = ws.select("id", F.explode("words").alias("w"))
+    if max_token_df is not None:
+        hot = (
+            tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_token_df)
+            .select("w")
+        )
+        tok = tok.join(F.broadcast(hot), "w", "left_anti")
+    a = tok.select(F.col("id").alias("i"), "w")
+    b = tok.select(F.col("id").alias("j"), "w")
+    inter = (
+        a.join(b, "w")
+        .where(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("i"), F.col("n").alias("ni"))
+    sb = sizes.select(F.col("id").alias("j"), F.col("n").alias("nj"))
+    return (
+        inter.join(sa, "i")
+        .join(sb, "j")
+        .withColumn("uni", F.col("ni") + F.col("nj") - F.col("inter"))
+        .where(F.col("inter") >= F.lit(threshold) * F.col("uni"))
+        .select("i", "j", "inter", "uni")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (id, mh_0..mh_{n-1}): per-doc MinHash over word sets, fully
+    JVM-side via min(xxhash64(token, seed))."""
+    tok = word_sets(docs, text_col, id_col).select(
+        "id", F.explode("words").alias("w")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("w"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return tok.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n_hashes: int = 16,
+    rows_per_band: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup detection with exact-Jaccard verification.
+
+    Bands of ``rows_per_band`` signature rows are hashed to buckets;
+    docs sharing a bucket become candidate pairs; candidates are
+    verified exactly, so output ≡ ``jaccard_pairs`` restricted to
+    LSH-recalled pairs. P(miss) = (1 - t^r)^(n/r); defaults give
+    (1-t)^16 — ~1e-16 at t=0.9.
+    """
+    sig = minhash_signatures(docs, n_hashes, text_col, id_col)
+    n_bands = n_hashes // rows_per_band
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh_{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    l = band_rows.select(F.col("id").alias("i"), "band", "bucket")
+    r = band_rows.select(F.col("id").alias("j"), "band", "bucket")
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .dropDuplicates(["i", "j"])
+    )
+    # exact verify on candidates only
+    ws = word_sets(docs, text_col, id_col)
+    wa = ws.select(F.col("id").alias("i"), F.col("words").alias("wi"))
+    wb = ws.select(F.col("id").alias("j"), F.col("words").alias("wj"))
+    return (
+        cand.join(wa, "i")
+        .join(wb, "j")
+        .withColumn("inter", F.size(F.array_intersect("wi", "wj")))
+        .withColumn(
+            "uni", F.size("wi") + F.size("wj") - F.col("inter")
+        )
+        .where(F.col("inter") >= F.lit(threshold) * F.col("uni"))
+        .select("i", "j", "inter", "uni")
+    )
+
+
+def simhash64(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (id, simhash): 64-bit SimHash over word tokens (numpy
+    vectorized pandas UDF; hamming-close fingerprints ⇒ near-dups)."""
+    import numpy as np
+
+    @pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").split()
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.array(
+                [hash64(tok) for tok in toks], dtype=np.uint64
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int64
+            )
+            v = np.where(bits.sum(axis=0) * 2 >= len(toks), 1, 0).astype(
+                np.uint64
+            )
+            out.append(int((v << np.arange(64, dtype=np.uint64)).sum()
+                           .astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    def hash64(s: str) -> int:
+        import hashlib
+
+        return int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+        )
+
+    return docs.select(
+        F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash")
+    )
