@@ -945,7 +945,46 @@ def emb_knn(spark, sf_dir):
     )
 
 
+@q(
+    "emb_cosine_pairs_fast",
+    lambda: f"""
+SELECT a.vec_id AS i, b.vec_id AS j
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS} >= 0.4
+""",
+)
+def emb_cosine_pairs_fast(spark, sf_dir):
+    """Scale path for cosine near-dup pairs: broadcast normalized
+    matrix + per-partition numpy GEMM (mapInPandas) — same output as
+    the fold-based baseline, O(n²) flops in BLAS instead of
+    interpreted expression evaluation."""
+    from .operators.similarity import cosine_pairs_blocked
+
+    return cosine_pairs_blocked(
+        _load(spark, sf_dir, "embeddings"), spark, 0.4
+    )
+
+
 # --- rows-only operators (no SQL-expressible oracle) -----------------------
+
+@q("doc_minhash_lsh_shingle")
+def doc_minhash_lsh_shingle(spark, sf_dir):
+    """MinHash-LSH over word 3-gram shingles (16 hashes, 2-row bands)
+    — the realistic web-corpus configuration where similarity is
+    sparse and banding prunes aggressively. Shingle hashing has no
+    DuckDB equivalent → rows-only."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"), 0.8,
+        n_hashes=16, rows_per_band=2, ngram=3,
+    )
+    return d.select(
+        "i", "j", F.col("inter").cast("long").alias("inter"),
+        F.col("uni").cast("long").alias("uni"),
+    )
+
+
 
 @q("doc_minhash_signatures")
 def doc_minhash_signatures(spark, sf_dir):

@@ -47,6 +47,7 @@ def cea(
         cells_with_mention.where(F.col("mention_norm") != "")
         .select(*_CELL_KEY, "mention_norm")
         .join(candidates, "mention_norm")
+        .localCheckpoint(True)  # consumed by phase 1 and phase 2
     )
 
     w1 = Window.partitionBy(*_CELL_KEY).orderBy(
@@ -56,6 +57,7 @@ def cea(
         linked.withColumn("rn", F.row_number().over(w1))
         .where(F.col("rn") == 1)
         .select(*_CELL_KEY, "uri")
+        .localCheckpoint(True)  # consumed by votes and col_n
     )
 
     votes = (

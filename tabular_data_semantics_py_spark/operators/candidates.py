@@ -67,18 +67,26 @@ def generate_candidates(
     normalize = make_normalize_udf()
     score_udf = make_lexical_score_udf()
 
-    cells = data_cells.withColumn("mention_norm", normalize(F.col("cell")))
+    # materialize the normalized cells ONCE: the UDF column is
+    # referenced by a filter AND multiple projections downstream, and
+    # Catalyst re-evaluates (does not dedup) Python UDFs per reference
+    # — without this checkpoint the normalize UDF runs 3× over every
+    # cell and again inside every consumer stage
+    cells = data_cells.withColumn(
+        "mention_norm", normalize(F.col("cell"))
+    ).localCheckpoint(True)
     mentions = (
         cells.where(F.col("mention_norm") != "")
         .select("mention_norm")
         .dropDuplicates(["mention_norm"])  # A10 dedup-then-join-back
+        .localCheckpoint(True)
     )
 
-    index_keys = build_index_keys(entity_index)
+    index_keys = build_index_keys(entity_index).localCheckpoint(True)
 
     exact = mentions.join(
         index_keys, mentions.mention_norm == index_keys.key_norm
-    ).select("mention_norm", "uri", F.lit(1.0).alias("score"))
+    ).select("mention_norm", "uri", F.lit(1.0).alias("score")).localCheckpoint(True)
 
     # fuzzy fallback for mentions with no exact hit (token blocking)
     unmatched = mentions.join(

@@ -47,11 +47,24 @@ def exact_dedup_groups(
 
 
 def word_sets(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    ngram: int = 1,
 ) -> DataFrame:
+    """Distinct token sets; ``ngram > 1`` produces word n-gram
+    shingles (joined with '\\x1f') — the shingling step that makes
+    near-dup similarity *sparse* on natural corpora, which is what the
+    LSH banding exploits at scale."""
+    toks = F.split(F.col(text_col), " ")
+    if ngram == 1:
+        arr = toks
+    else:
+        n = F.size(toks)
+        arr = F.transform(
+            F.sequence(F.lit(0), F.greatest(n - ngram, F.lit(0))),
+            lambda i: F.concat_ws("\x1f", F.slice(toks, i + 1, ngram)),
+        )
     return docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(F.split(F.col(text_col), " ")).alias("words"),
+        F.col(id_col).alias("id"), F.array_distinct(arr).alias("words")
     )
 
 
@@ -108,10 +121,11 @@ def minhash_signatures(
     n_hashes: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ngram: int = 1,
 ) -> DataFrame:
     """→ (id, mh_0..mh_{n-1}): per-doc MinHash over word sets, fully
     JVM-side via min(xxhash64(token, seed))."""
-    tok = word_sets(docs, text_col, id_col).select(
+    tok = word_sets(docs, text_col, id_col, ngram).select(
         "id", F.explode("words").alias("w")
     )
     aggs = [
@@ -128,6 +142,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ngram: int = 1,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection with exact-Jaccard verification.
 
@@ -137,7 +152,7 @@ def minhash_lsh_pairs(
     LSH-recalled pairs. P(miss) = (1 - t^r)^(n/r); defaults give
     (1-t)^16 — ~1e-16 at t=0.9.
     """
-    sig = minhash_signatures(docs, n_hashes, text_col, id_col)
+    sig = minhash_signatures(docs, n_hashes, text_col, id_col, ngram)
     n_bands = n_hashes // rows_per_band
     band_rows = sig.select(
         "id",
@@ -167,7 +182,7 @@ def minhash_lsh_pairs(
         .dropDuplicates(["i", "j"])
     )
     # exact verify on candidates only
-    ws = word_sets(docs, text_col, id_col)
+    ws = word_sets(docs, text_col, id_col, ngram)
     wa = ws.select(F.col("id").alias("i"), F.col("words").alias("wi"))
     wb = ws.select(F.col("id").alias("j"), F.col("words").alias("wj"))
     return (

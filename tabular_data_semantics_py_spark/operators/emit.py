@@ -69,6 +69,7 @@ def emit_triples(
             F.max(F.when(F.col("col") == 0, F.col("cell"))).alias("main_cell"),
         )
         .where(F.col("max_len") > 0)
+        .localCheckpoint(True)  # consumed by 7 union branches below
     )
     row_uri = F.concat(
         base, F.col("table_id"), F.lit("-col-0-row-"),

@@ -85,6 +85,43 @@ def knn_bruteforce(
     )
 
 
+def cosine_pairs_blocked(
+    emb: DataFrame,
+    spark,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Block nested-loop cosine pairs via numpy GEMM in mapInPandas:
+    the full (normalized) matrix is broadcast, each partition GEMMs
+    its block against it — no O(n²) shuffle rows, per-partition BLAS.
+    At true scale the broadcast side becomes a loop over matrix
+    chunks; the plumbing is identical. Output ≡ ``cosine_pairs``.
+    """
+    import numpy as np
+
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    b = spark.sparkContext.broadcast((ids, Mn))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_m = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = Vn @ all_m.T
+            bi = pdf[id_col].to_numpy()
+            mask = (sims >= threshold) & (bi[:, None] < all_ids[None, :])
+            r, c = np.nonzero(mask)
+            yield pd.DataFrame({"i": bi[r], "j": all_ids[c]})
+
+    return emb.select(id_col, vec_col).mapInPandas(run, "i long, j long")
+
+
 def ivf_knn(
     emb: DataFrame,
     spark,

@@ -178,6 +178,7 @@ def build_entity_types(
             .otherwise(F.col("pred_types")),
         )
         .select("uri", "base_types")
+        .localCheckpoint(True)  # consumed twice below
     )
 
     # ancestor expansion via the broadcast closure dimension

@@ -73,27 +73,53 @@ def corpus_to_dataframes(
 ) -> dict[str, DataFrame]:
     """Materialize the fixture corpus as DataFrames (the test/bench
     stand-in for reading the Iceberg catalog)."""
-    repos = spark.createDataFrame(corpus.repos, REPO_SCHEMA)
+    # two deliberate choices here:
+    # 1. go through pandas so createDataFrame takes the Arrow path —
+    #    list-of-tuples input is backed by a pickled Python RDD whose
+    #    every downstream job pays a Python-worker round trip
+    # 2. right-size the tiny dimension tables to one partition; at
+    #    real scale a parquet scan's maxPartitionBytes does the same
+    import pandas as pd
+
+    def _pdf(rows, columns):
+        return pd.DataFrame(rows, columns=columns)
+
+    repos = spark.createDataFrame(
+        _pdf(corpus.repos, ["repo", "path", "commit", "lang", "content"]),
+        REPO_SCHEMA,
+    )
     index = spark.createDataFrame(
-        [
-            (e.uri, e.label, e.aliases, e.types, e.redirect_to,
-             e.is_disambiguation, e.popularity)
-            for e in corpus.entities
-        ],
+        _pdf(
+            [
+                (e.uri, e.label, e.aliases, e.types, e.redirect_to,
+                 e.is_disambiguation, e.popularity)
+                for e in corpus.entities
+            ],
+            ["uri", "label", "aliases", "types", "redirect_to",
+             "is_disambiguation", "popularity"],
+        ),
         ENTITY_INDEX_SCHEMA,
-    )
-    triples = spark.createDataFrame(corpus.triples, TRIPLE_SCHEMA)
+    ).coalesce(1)
+    triples = spark.createDataFrame(
+        _pdf(corpus.triples, ["subj", "pred", "obj", "obj_is_literal"]),
+        TRIPLE_SCHEMA,
+    ).coalesce(4)
     prop_meta = spark.createDataFrame(
-        corpus.property_meta, "pred string, domain_uri string, range_uri string"
-    )
+        _pdf(corpus.property_meta, ["pred", "domain_uri", "range_uri"]),
+        "pred string, domain_uri string, range_uri string",
+    ).coalesce(1)
     edges = spark.createDataFrame(
-        corpus.edges, "class_uri string, parent_uri string"
-    )
-    equiv = spark.createDataFrame(corpus.equivalent, "a string, b string")
+        _pdf(corpus.edges, ["class_uri", "parent_uri"]),
+        "class_uri string, parent_uri string",
+    ).coalesce(1)
+    equiv = spark.createDataFrame(
+        _pdf(corpus.equivalent, ["a", "b"]), "a string, b string"
+    ).coalesce(1)
     classes = spark.createDataFrame(
-        corpus.classes, "class_uri string, label string"
-    )
-    return {
+        _pdf(corpus.classes, ["class_uri", "label"]),
+        "class_uri string, label string",
+    ).coalesce(1)
+    out = {
         "source_repos": repos,
         "entity_index": index,
         "kg_triples": triples,
@@ -102,3 +128,7 @@ def corpus_to_dataframes(
         "ontology_equivalent": equiv,
         "ontology_classes": classes,
     }
+    # materialize once: python-list createDataFrame is backed by a
+    # pickled RDD, so *every* job consuming it would re-run a Python
+    # deserialization stage; localCheckpoint converts to JVM blocks
+    return {k: v.localCheckpoint() for k, v in out.items()}
