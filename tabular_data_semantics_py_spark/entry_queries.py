@@ -525,6 +525,203 @@ def kg_neighborhood(spark, sf_dir):
     )
 
 
+def _o_fragment():
+    corpus, _, gold = _fixture()
+    cea_rows = sorted({(u,) for (_t, _c, _r, u) in gold.cea})
+    avoid = ", ".join(_s(p) for p in sorted(C.AVOID_PREDICATES))
+    return f"""
+WITH tr(subj, pred, obj, lit) AS (SELECT * FROM {_values(corpus.triples, "subj, pred, obj, lit")}),
+ents(uri) AS (SELECT * FROM {_values(cea_rows, "uri")}),
+ranked AS (
+  SELECT t.subj, t.pred, t.obj, t.lit AS obj_is_literal,
+         ROW_NUMBER() OVER (PARTITION BY t.subj ORDER BY t.pred, t.obj) AS rn
+  FROM tr t JOIN ents e ON t.subj = e.uri
+  WHERE t.pred NOT IN ({avoid})
+)
+SELECT subj, pred, obj, obj_is_literal FROM ranked WHERE rn <= 5
+"""
+
+
+@q("kg_fragment", _o_fragment)
+def kg_fragment(spark, sf_dir):
+    """E5: KG-fragment extraction — 1-hop neighborhood triples of the
+    CEA-linked entities, blocklist-filtered, capped per entity
+    (oaei/dbpedia_fragment.py:373-443 + kg/endpoints.py:317-338)."""
+    pipe = _pipeline(spark)
+    ents = pipe.stages["cea"].select("uri").distinct()
+    tr = _dfs(spark)["kg_triples"]
+    w = Window.partitionBy("subj").orderBy("pred", "obj")
+    return (
+        tr.join(ents, tr.subj == ents.uri)
+        .where(~F.col("pred").isin(*sorted(C.AVOID_PREDICATES)))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("subj", "pred", "obj", "obj_is_literal")
+    )
+
+
+def _o_class_members():
+    corpus, _, _ = _fixture()
+    return f"""
+WITH tr(subj, pred, obj, lit) AS (SELECT * FROM {_values(corpus.triples, "subj, pred, obj, lit")}),
+ranked AS (
+  SELECT obj AS class_uri, subj AS member_uri,
+         ROW_NUMBER() OVER (PARTITION BY obj ORDER BY subj) AS rn
+  FROM tr WHERE pred = {_s(C.RDF_TYPE)}
+)
+SELECT class_uri, member_uri, rn FROM ranked WHERE rn <= 5
+"""
+
+
+@q("kg_class_members", _o_class_members)
+def kg_class_members(spark, sf_dir):
+    """J12: class → member entities with a deterministic sample
+    (replaces the reference's ORDER BY RAND() pagination,
+    kg/endpoints.py:413-425, with a pinned ordering)."""
+    tr = _dfs(spark)["kg_triples"]
+    w = Window.partitionBy("class_uri").orderBy("member_uri")
+    return (
+        tr.where(F.col("pred") == C.RDF_TYPE)
+        .select(F.col("obj").alias("class_uri"), F.col("subj").alias("member_uri"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+    )
+
+
+def _o_projection():
+    corpus, _, _ = _fixture()
+    return f"""
+WITH edges(c, p) AS (SELECT * FROM {_values(corpus.edges, "c, p")}),
+eq(a, b) AS (SELECT * FROM {_values(corpus.equivalent, "a, b")}),
+pm(pred, dom, rng) AS (SELECT * FROM {_values(corpus.property_meta, "pred, dom, rng")})
+SELECT c AS subj, {_s(C.RDFS_SUBCLASSOF)} AS pred, p AS obj FROM edges
+UNION ALL SELECT a, {_s(C.RDFS_SUBCLASSOF)}, b FROM eq
+UNION ALL SELECT b, {_s(C.RDFS_SUBCLASSOF)}, a FROM eq
+UNION ALL SELECT dom, pred, rng FROM pm
+"""
+
+
+@q("kg_onto_projection", _o_projection)
+def kg_onto_projection(spark, sf_dir):
+    """P1/P2/P5: ontology projection — atomic subsumptions,
+    equivalence as two subsumptions, and domain×range property edges
+    (ontology/ontology_projection.py:325-347,447-462; the OWL2Vec*
+    projection shape)."""
+    dfs = _dfs(spark)
+    edges = dfs["ontology_edges"].select(
+        F.col("class_uri").alias("subj"),
+        F.lit(C.RDFS_SUBCLASSOF).alias("pred"),
+        F.col("parent_uri").alias("obj"),
+    )
+    eq = dfs["ontology_equivalent"]
+    eq_sub = eq.select(
+        F.col("a").alias("subj"), F.lit(C.RDFS_SUBCLASSOF).alias("pred"),
+        F.col("b").alias("obj"),
+    ).union(
+        eq.select(
+            F.col("b").alias("subj"), F.lit(C.RDFS_SUBCLASSOF).alias("pred"),
+            F.col("a").alias("obj"),
+        )
+    )
+    dr = dfs["property_meta"].select(
+        F.col("domain_uri").alias("subj"), F.col("pred").alias("pred"),
+        F.col("range_uri").alias("obj"),
+    )
+    return edges.union(eq_sub).union(dr)
+
+
+def _o_label_index():
+    _, ex, _ = _fixture()
+    rows = sorted(
+        (uri, k) for uri, keys in ex.entity_keys.items() for k in keys
+    )
+    return "SELECT uri, key_norm FROM " + _values(rows, "uri, key_norm")
+
+
+@q("kg_label_index", _o_label_index)
+def kg_label_index(spark, sf_dir):
+    """P12 + S3: the lexical label/alias index (normalized surface
+    form → entity), the local replacement for the remote lookup
+    services (ontology_projection.py:1420-1471 label indexing role)."""
+    from .operators.candidates import build_index_keys
+
+    return build_index_keys(_dfs(spark)["entity_index"]).select("uri", "key_norm")
+
+
+def _o_sameas():
+    corpus, _, _ = _fixture()
+    rows = [
+        (e.uri, e.redirect_to) for e in corpus.entities if e.redirect_to
+    ]
+    return f"""
+WITH r(a, b) AS (SELECT * FROM {_values(rows, "a, b")})
+SELECT a, b FROM r UNION SELECT b, a FROM r
+"""
+
+
+@q("kg_redirect_sameas", _o_sameas)
+def kg_redirect_sameas(spark, sf_dir):
+    """J4/P4: symmetric sameAs closure (1 step) over the redirect
+    edges (kg/endpoints.py:530-538 UNION query; projection P4
+    ontology_projection.py:392-400)."""
+    idx = _dfs(spark)["entity_index"]
+    r = idx.where(F.col("redirect_to").isNotNull()).select(
+        F.col("uri").alias("a"), F.col("redirect_to").alias("b")
+    )
+    return r.union(r.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+
+
+def _o_mention_col():
+    _, _, gold = _fixture()
+    # independent recomputation: for each (table, normalized mention)
+    # the minimum column whose cell normalizes to it (J14 semantics)
+    rows = sorted(
+        {
+            (t, norm, c)
+            for (t, c, r), norm in gold.mention_norm.items()
+        }
+    )
+    return f"""
+WITH m(table_id, mention_norm, c) AS (SELECT * FROM {_values(rows, "table_id, mention_norm, c")})
+SELECT table_id, mention_norm, MIN(c) AS col
+FROM m GROUP BY table_id, mention_norm
+"""
+
+
+@q("kg_mention_to_col", _o_mention_col)
+def kg_mention_to_col(spark, sf_dir):
+    """J14: mention → column id — first column whose (normalized)
+    cell equals the mention (challenge_utils.py:647-677, the GT
+    repair join of test/error_detection.py:165-212)."""
+    pipe = _pipeline(spark)
+    from .operators.candidates import generate_candidates  # noqa: F401
+
+    cells = pipe.stages["cells"].where(F.col("row") >= 0)
+    from .functions.normalize import make_normalize_udf
+
+    norm = make_normalize_udf()
+    return (
+        cells.withColumn("mention_norm", norm(F.col("cell")))
+        .where(F.col("mention_norm") != "")
+        .groupBy("table_id", "mention_norm")
+        .agg(F.min("col").alias("col"))
+    )
+
+
+@q("kg_entity_sample")
+def kg_entity_sample(spark, sf_dir):
+    """T3: deterministic entity sampling — ORDER BY xxhash64(uri, seed)
+    replaces the reference's ORDER BY RAND() (kg/endpoints.py:416,423).
+    xxhash64 has no DuckDB equivalent → rows-only."""
+    idx = _dfs(spark)["entity_index"]
+    return (
+        idx.select("uri", F.xxhash64(F.col("uri"), F.lit(42)).alias("h"))
+        .orderBy("h")
+        .limit(25)
+        .select("uri")
+    )
+
+
 # ===========================================================================
 # relational operators over the driver's testdata (TPC-H-ish)
 # ===========================================================================

@@ -1,0 +1,62 @@
+"""Structured Streaming operators.
+
+The reference has no streaming surface (SURVEY.md §2.10); its closest
+analogue is incremental checkpoint/resume, which plans/pipeline.py
+covers. These operators make the engine's event-side ops available as
+streams — the shape a production ingest of the 10^12-file source table
+would use (new commits arriving → incremental annotation):
+
+- ``hourly_rollup_stream``: watermarked tumbling-window aggregation
+  (the streaming form of entry_queries.events_hourly).
+- ``streaming_dedup``: watermark-bounded exact dedup on content sha —
+  the streaming form of the exact-dedup operator; state is bounded by
+  the watermark horizon.
+
+Tests drive them with ``trigger(availableNow=True)`` over the parquet
+events table and assert equality with the batch results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events_from_parquet(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """readStream over a parquet directory (file-source streaming —
+    each file is a micro-batch input; at scale this is the Iceberg /
+    Kafka source with the same downstream plan)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def hourly_rollup_stream(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window count/sum per event_type with a 2-hour
+    watermark for late data."""
+    with_ts = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        with_ts.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Exact streaming dedup on key columns within the watermark
+    horizon (dropDuplicatesWithinWatermark → bounded state)."""
+    with_ts = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        with_ts.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(key_cols)
+    )
