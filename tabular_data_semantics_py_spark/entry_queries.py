@@ -708,6 +708,34 @@ def kg_mention_to_col(spark, sf_dir):
     )
 
 
+def _o_closure_stats():
+    return f"""
+WITH w AS ({_o_closure()})
+SELECT class_uri,
+       COUNT(*) AS n_ancestors,
+       CAST(MAX(depth) AS INTEGER) AS max_depth,
+       CAST(MIN(depth) AS INTEGER) AS min_depth
+FROM w WHERE ancestor_uri LIKE {_s(C.ONTOLOGY_NS + "%")}
+GROUP BY class_uri
+"""
+
+
+@q("kg_closure_stats", _o_closure_stats)
+def kg_closure_stats(spark, sf_dir):
+    """A8: distance-map statistics per class — ancestor counts and
+    depth extrema (sem_tab/CTA_Wikidata_Statistic.py:3-27 role)."""
+    clo = _pipeline(spark).stages["closure"]
+    return (
+        clo.where(F.col("ancestor_uri").startswith(C.ONTOLOGY_NS))
+        .groupBy("class_uri")
+        .agg(
+            F.count(F.lit(1)).alias("n_ancestors"),
+            F.max("depth").alias("max_depth"),
+            F.min("depth").alias("min_depth"),
+        )
+    )
+
+
 @q("kg_entity_sample")
 def kg_entity_sample(spark, sf_dir):
     """T3: deterministic entity sampling — ORDER BY xxhash64(uri, seed)
