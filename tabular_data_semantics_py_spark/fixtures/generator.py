@@ -473,6 +473,12 @@ def make_corpus(
                         label = f"{label} ({theme_name[:-1]})"
                     if rng.random() < 0.08:
                         label = f'"{label}"'
+                    # typo perturbation: exercises the fuzzy lexical
+                    # scorer (reference ranks fuzzy lookup hits,
+                    # kg/lookup.py:95-106); drop one inner character
+                    if rng.random() < 0.06 and len(label) > 6:
+                        pos = rng.randrange(1, len(label) - 1)
+                        label = label[:pos] + label[pos + 1:]
                     row.append(label)
                     intent[c_idx] = mention_ent.uri
                     if mention_ent is not ent:
