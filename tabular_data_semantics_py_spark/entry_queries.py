@@ -936,8 +936,15 @@ def events_sessions(spark, sf_dir):
     the batch analogue of stateful streaming session windows."""
     e = _load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet ts is TIMESTAMP_NTZ; session tz is UTC, so the cast is lossless
-    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    # parquet ts is TIMESTAMP_NTZ; extract epoch-ms without going
+    # through the session time zone (the driver's session may not be
+    # UTC): NTZ diffs via a fixed naive epoch are tz-free
+    ms = (
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "cast('1970-01-01 00:00:00' as timestamp_ntz), ts) div 1000"
+        )
+    ).cast("long")
     prev = F.lag(ms).over(w)
     is_start = F.when(
         prev.isNull() | ((ms - prev) > 1_800_000), 1
