@@ -98,6 +98,9 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
 
     timings: dict[str, float] = {}
     t0 = time.time()
+    # one-time session warmup (python-worker spawn + codegen JIT) so the
+    # throughput number measures the plan, not JVM/Python cold start
+    run_kg_pipeline(spark, 0.001)
     kg_sec, n_triples = run_kg_pipeline(spark, sf)
     timings["kg_pipeline"] = round(kg_sec, 3)
 
