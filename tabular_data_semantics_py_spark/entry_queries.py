@@ -387,6 +387,67 @@ def kg_cpa(spark, sf_dir):
     return _pipeline(spark).stages["cpa"]
 
 
+def _o_cpa_all_pairs():
+    corpus, _, gold = _fixture()
+    cea_rows = [(t, c, r, u) for (t, c, r, u) in gold.cea]
+    rel = [
+        (s, p, o) for (s, p, o, lit) in corpus.triples
+        if not lit and p != C.RDF_TYPE and p not in C.AVOID_PREDICATES
+    ]
+    return f"""
+WITH cea(table_id, c, r, uri) AS (SELECT * FROM {_values(cea_rows, "table_id, c, r, uri")}),
+rel(s, p, o) AS (SELECT * FROM {_values(rel, "s, p, o")}),
+votes AS (
+  SELECT a.table_id, a.c AS col_subj, b.c AS col_obj, rel.p AS pred,
+         COUNT(*) AS n
+  FROM cea a
+  JOIN cea b ON a.table_id = b.table_id AND a.r = b.r AND a.c <> b.c
+  JOIN rel ON rel.s = a.uri AND rel.o = b.uri
+  GROUP BY 1, 2, 3, 4
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY table_id, col_subj, col_obj
+                               ORDER BY n DESC, pred) AS rn
+  FROM votes
+)
+SELECT table_id, col_subj, col_obj, pred, n AS votes
+FROM ranked WHERE rn = 1
+"""
+
+
+@q("kg_cpa_all_pairs", _o_cpa_all_pairs)
+def kg_cpa_all_pairs(spark, sf_dir):
+    """CPA generalized to ALL ordered entity-column pairs (the
+    reference only targets main-column pairs, test/mergeFiles.py:60-70;
+    full-pair voting is the same operator without the J15 restriction)."""
+    pipe = _pipeline(spark)
+    cea_df = pipe.stages["cea"]
+    a = cea_df.select("table_id", "row", F.col("col").alias("col_subj"),
+                      F.col("uri").alias("s_uri"))
+    b = cea_df.select("table_id", "row", F.col("col").alias("col_obj"),
+                      F.col("uri").alias("o_uri"))
+    rel = _dfs(spark)["kg_triples"].where(
+        (~F.col("obj_is_literal"))
+        & (F.col("pred") != C.RDF_TYPE)
+        & ~F.col("pred").isin(*sorted(C.AVOID_PREDICATES))
+    ).select(F.col("subj").alias("s_uri"), "pred", F.col("obj").alias("o_uri"))
+    votes = (
+        a.join(b, ["table_id", "row"])
+        .where(F.col("col_subj") != F.col("col_obj"))
+        .join(rel, ["s_uri", "o_uri"])
+        .groupBy("table_id", "col_subj", "col_obj", "pred")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("table_id", "col_subj", "col_obj").orderBy(
+        F.desc("votes"), F.asc("pred")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("table_id", "col_subj", "col_obj", "pred", "votes")
+    )
+
+
 def _o_triples():
     corpus, _, gold = _fixture()
     hdr_rows = []
