@@ -48,22 +48,33 @@ def _fixture():
     return _STATE["corpus"], _STATE["ex"], _STATE["gold"]
 
 
+def _app_id(spark: SparkSession) -> str:
+    # id(spark) can be recycled after a stopped session is GC'd, and
+    # keying on it grows _STATE unboundedly; applicationId is unique
+    # per SparkContext lifetime
+    return spark.sparkContext.applicationId
+
+
 def _pipeline(spark: SparkSession):
-    key = ("pipe", id(spark))
+    app = _app_id(spark)
+    key = ("pipe", app)
     if key not in _STATE:
         from .plans.pipeline import run_pipeline
         from .sources.repo_source import corpus_to_dataframes
 
+        # evict state owned by previous (stopped) sessions
+        for k in [k for k in _STATE if isinstance(k, tuple) and k[1] != app]:
+            del _STATE[k]
         corpus, _, _ = _fixture()
         dfs = corpus_to_dataframes(spark, corpus)
-        _STATE[("dfs", id(spark))] = dfs
+        _STATE[("dfs", app)] = dfs
         _STATE[key] = run_pipeline(spark, dfs)
     return _STATE[key]
 
 
 def _dfs(spark: SparkSession):
     _pipeline(spark)
-    return _STATE[("dfs", id(spark))]
+    return _STATE[("dfs", _app_id(spark))]
 
 
 # ---------------------------------------------------------------------------
@@ -81,6 +92,13 @@ def _s(v) -> str:
 
 
 def _values(rows, cols: str) -> str:
+    rows = list(rows)
+    if not rows:
+        # '(VALUES ) AS t(...)' is invalid SQL — emit an empty relation
+        # with the right column list instead
+        ncols = len(cols.split(","))
+        nulls = ", ".join(["NULL"] * ncols)
+        return f"(SELECT {nulls} WHERE FALSE) AS t({cols})"
     body = ",\n".join("(" + ", ".join(_s(v) for v in r) + ")" for r in rows)
     return f"(VALUES\n{body}\n) AS t({cols})"
 
@@ -199,7 +217,13 @@ def kg_redirects(spark, sf_dir):
     """J3: bounded 2-hop redirect resolution
     (challenge_utils.py:441-453)."""
     idx = _dfs(spark)["entity_index"]
-    red = idx.select(F.col("uri").alias("r_src"), F.col("redirect_to").alias("r_dst"))
+    # only advance to targets present in the index (dangling redirects
+    # keep the source — the oracle's LEFT-JOIN COALESCE semantics)
+    red = idx.join(
+        idx.select(F.col("uri").alias("_tgt")),
+        F.col("redirect_to") == F.col("_tgt"),
+        "left_semi",
+    ).select(F.col("uri").alias("r_src"), F.col("redirect_to").alias("r_dst"))
     out = idx.select("uri", F.col("uri").alias("final_uri"))
     for _ in range(C.REDIRECT_MAX_HOPS):
         out = (
@@ -755,15 +779,19 @@ def kg_mention_to_col(spark, sf_dir):
     cell equals the mention (challenge_utils.py:647-677, the GT
     repair join of test/error_detection.py:165-212)."""
     pipe = _pipeline(spark)
-    from .operators.candidates import generate_candidates  # noqa: F401
+    from .functions.normalize import make_normalize_udf, prenorm_expr
 
     cells = pipe.stages["cells"].where(F.col("row") >= 0)
-    from .functions.normalize import make_normalize_udf
-
     norm = make_normalize_udf()
+    # JVM prenorm + groupBy first; the Python accent-strip then runs
+    # only on the (table, distinct-prenorm) groups, then re-group in
+    # case two prenorms collapse to one norm
     return (
-        cells.withColumn("mention_norm", norm(F.col("cell")))
-        .where(F.col("mention_norm") != "")
+        cells.withColumn("p", prenorm_expr(F.col("cell")))
+        .where(F.col("p") != "")
+        .groupBy("table_id", "p")
+        .agg(F.min("col").alias("col"))
+        .withColumn("mention_norm", norm(F.col("p")))
         .groupBy("table_id", "mention_norm")
         .agg(F.min("col").alias("col"))
     )

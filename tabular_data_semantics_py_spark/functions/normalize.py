@@ -99,6 +99,33 @@ def lexical_score(mention_norm: str, key_norm: str) -> float:
 
 # --- Spark vectorized wrappers ---------------------------------------------
 
+def prenorm_expr(col):
+    """JVM expression for the UDF-free prefix of ``normalize_mention``:
+    quote-strip, bracket removal, lowercase, whitespace collapse — all
+    whole-stage-codegen, so the full cell table never enters Python.
+    Only accent-stripping needs Python, and
+    ``normalize_mention(prenorm(s)) == normalize_mention(s)`` (property
+    test in tests/test_normalize.py), so it can run *after* dedup to
+    distinct prenormed mentions — orders of magnitude smaller at scale.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.regexp_replace(col, '"', "")
+    c = F.regexp_replace(c, r"\(([^)]*)\)", " ")
+    c = F.lower(c)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def prenorm_py(s: str) -> str:
+    """Python mirror of ``prenorm_expr`` (for property-testing the
+    prenorm→normalize composition)."""
+    if s is None:
+        return ""
+    s = s.replace('"', "")
+    s = _BRACKET_RE.sub(" ", s)
+    s = s.lower()
+    return re.sub(r"[ \t\n\x0b\f\r]+", " ", s).strip(" \t\n\x0b\f\r")
+
 def make_normalize_udf():
     """pandas UDF: normalize a string column (Arrow-batched)."""
     from pyspark.sql.functions import pandas_udf

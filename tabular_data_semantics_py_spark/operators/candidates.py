@@ -32,12 +32,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..constants import FUZZY_MIN_SCORE, TOP_K_CANDIDATES
-from ..functions.normalize import make_lexical_score_udf, make_normalize_udf
+from ..functions.normalize import (
+    make_lexical_score_udf,
+    make_normalize_udf,
+    prenorm_expr,
+)
 
 
 def build_index_keys(entity_index: DataFrame) -> DataFrame:
     """entity_index → (uri, popularity, key_norm) — one row per
-    normalized label/alias surface form (kg/lookup.py:162-209 role)."""
+    normalized label/alias surface form (kg/lookup.py:162-209 role).
+
+    Normalization is JVM prenorm over the exploded keys + accent-strip
+    (the only Python step) on *distinct* prenormed surface forms only —
+    at a 10^8-entity index the Python surface is the distinct-label
+    table, not the exploded key table. The join back is unhinted so
+    AQE picks broadcast when the bridge is small.
+    """
     normalize = make_normalize_udf()
     keys = entity_index.select(
         "uri",
@@ -45,9 +56,17 @@ def build_index_keys(entity_index: DataFrame) -> DataFrame:
         F.explode(
             F.array_union(F.array(F.col("label")), F.col("aliases"))
         ).alias("key_raw"),
-    ).withColumn("key_norm", normalize(F.col("key_raw")))
+    ).withColumn("key_prenorm", prenorm_expr(F.col("key_raw")))
+    bridge = (
+        keys.where(F.col("key_prenorm") != "")
+        .select("key_prenorm")
+        .dropDuplicates(["key_prenorm"])
+        .withColumn("key_norm", normalize(F.col("key_prenorm")))
+        .localCheckpoint(True)  # UDF column consumed by the join below
+    )
     return (
-        keys.where(F.col("key_norm") != "")
+        keys.join(bridge, "key_prenorm")
+        .where(F.col("key_norm") != "")
         .dropDuplicates(["uri", "key_norm"])
         .select("uri", "popularity", "key_norm")
     )
@@ -57,30 +76,42 @@ def generate_candidates(
     data_cells: DataFrame,
     entity_index: DataFrame,
     top_k: int = TOP_K_CANDIDATES,
+    max_token_df: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (cells_with_mention, candidates).
 
     cells_with_mention: data cells + ``mention_norm`` column.
     candidates: (mention_norm, uri, score, popularity) — redirect-
     resolved, deduped, top-k ranked per mention.
-    """
-    normalize = make_normalize_udf()
-    score_udf = make_lexical_score_udf()
 
-    # materialize the normalized cells ONCE: the UDF column is
-    # referenced by a filter AND multiple projections downstream, and
-    # Catalyst re-evaluates (does not dedup) Python UDFs per reference
-    # — without this checkpoint the normalize UDF runs 3× over every
-    # cell and again inside every consumer stage
-    cells = data_cells.withColumn(
-        "mention_norm", normalize(F.col("cell"))
-    ).localCheckpoint(True)
-    mentions = (
-        cells.where(F.col("mention_norm") != "")
-        .select("mention_norm")
-        .dropDuplicates(["mention_norm"])  # A10 dedup-then-join-back
-        .localCheckpoint(True)
+    ``max_token_df``: hot-token cap for the fuzzy blocking index (same
+    trade-off as dedup.jaccard_pairs) — tokens appearing in more than
+    this many index keys are dropped from *pairing*, bounding the
+    blocked-join fan-out under Zipfian mentions; scoring stays exact
+    on the surviving pairs. None = no cap (fixture-exact).
+    """
+    score_udf = make_lexical_score_udf()
+    normalize = make_normalize_udf()
+
+    # JVM prenorm over the full cell table — pure whole-stage codegen,
+    # no Python, no materialization (kills the round-1 full-corpus
+    # localCheckpoint). Accent-strip runs only on distinct prenorms.
+    cells_pre = data_cells.withColumn(
+        "mention_prenorm", prenorm_expr(F.col("cell"))
     )
+    bridge = (
+        cells_pre.where(F.col("mention_prenorm") != "")
+        .select("mention_prenorm")
+        .dropDuplicates(["mention_prenorm"])  # A10 dedup-then-join-back
+        .withColumn("mention_norm", normalize(F.col("mention_prenorm")))
+        .localCheckpoint(True)  # small; UDF col consumed by 3 joins
+    )
+    cells = (
+        cells_pre.join(bridge, "mention_prenorm", "left")
+        .withColumn("mention_norm", F.coalesce("mention_norm", F.lit("")))
+        .drop("mention_prenorm")
+    )
+    mentions = bridge.select("mention_norm").dropDuplicates(["mention_norm"])
 
     index_keys = build_index_keys(entity_index).localCheckpoint(True)
 
@@ -99,6 +130,13 @@ def generate_candidates(
     i_tok = index_keys.select(
         "uri", "key_norm", F.explode(F.split(F.col("key_norm"), " ")).alias("tok")
     )
+    if max_token_df is not None:
+        hot = (
+            i_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_token_df)
+            .select("tok")
+        )
+        i_tok = i_tok.join(F.broadcast(hot), "tok", "left_anti")
     blocked = (
         m_tok.join(i_tok, "tok")
         .select("mention_norm", "uri", "key_norm")
@@ -116,9 +154,18 @@ def generate_candidates(
 
     cands = exact.unionByName(fuzzy)
 
-    # redirect resolution: bounded 2-hop chained left joins
-    redirects = entity_index.where(F.col("redirect_to").isNotNull()).select(
-        F.col("uri").alias("r_src"), F.col("redirect_to").alias("r_dst")
+    # redirect resolution: bounded 2-hop chained left joins. Only
+    # advance to a redirect target that exists in the index — a
+    # dangling redirect keeps the source URI (the oracle's
+    # COALESCE(c.uri, b.uri, a.uri) LEFT-JOIN semantics).
+    redirects = (
+        entity_index.where(F.col("redirect_to").isNotNull())
+        .join(
+            entity_index.select(F.col("uri").alias("_tgt")),
+            F.col("redirect_to") == F.col("_tgt"),
+            "left_semi",
+        )
+        .select(F.col("uri").alias("r_src"), F.col("redirect_to").alias("r_dst"))
     )
     for _ in range(2):  # REDIRECT_MAX_HOPS
         cands = (

@@ -135,6 +135,6 @@ def emit_triples(
     out = (
         prop_triples.union(row_triples).union(role_triples)
         .union(sameas).union(cta_types)
-        .dropDuplicates(["subj", "pred", "obj"])
+        .dropDuplicates(["subj", "pred", "obj", "obj_is_literal"])
     )
     return out.repartition(F.col("subj"))

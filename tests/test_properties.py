@@ -32,6 +32,26 @@ def test_normalize_idempotent(s):
 
 
 @given(CELL)
+def test_prenorm_composes_with_normalize(s):
+    """normalize(prenorm(s)) == normalize(s): the JVM prenorm split in
+    operators/candidates.py must not change any mention_norm value."""
+    from tabular_data_semantics_py_spark.functions.normalize import (
+        prenorm_py,
+    )
+
+    assert normalize_mention(prenorm_py(s)) == normalize_mention(s)
+
+
+@given(st.text(min_size=0, max_size=32))  # arbitrary unicode
+def test_prenorm_composes_unicode(s):
+    from tabular_data_semantics_py_spark.functions.normalize import (
+        prenorm_py,
+    )
+
+    assert normalize_mention(prenorm_py(s)) == normalize_mention(s)
+
+
+@given(CELL)
 def test_normalize_ascii_lower(s):
     out = normalize_mention(s)
     assert out == out.lower()
