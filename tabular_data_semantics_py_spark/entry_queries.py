@@ -68,7 +68,9 @@ def _pipeline(spark: SparkSession):
         corpus, _, _ = _fixture()
         dfs = corpus_to_dataframes(spark, corpus)
         _STATE[("dfs", app)] = dfs
-        _STATE[key] = run_pipeline(spark, dfs)
+        # 'all': every stage is queried repeatedly by the contract
+        # registry — materialize each once
+        _STATE[key] = run_pipeline(spark, dfs, materialize="all")
     return _STATE[key]
 
 

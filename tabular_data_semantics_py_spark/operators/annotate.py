@@ -35,6 +35,7 @@ def cea(
     cells_with_mention: DataFrame,
     candidates: DataFrame,
     entity_types: DataFrame,
+    fused: bool = False,
 ) -> DataFrame:
     """→ (table_id, col, row, uri): the final cell-entity annotation.
 
@@ -42,23 +43,29 @@ def cea(
     Phase 2: column type-vote shares from phase-1 picks; final score =
     score + TYPE_BONUS * max vote-share over the candidate's types;
     re-pick. Pinned spec in fixtures/oracle.py.
+
+    ``fused=True`` skips the internal eager materializations so the
+    whole two-phase plan runs as ONE action — identical subtrees
+    (linked, prelim) collapse via ReuseExchange instead of being
+    sequential job barriers.
     """
-    linked = (
+    def _mat(df: DataFrame) -> DataFrame:
+        return df if fused else df.localCheckpoint(True)
+
+    linked = _mat(
         cells_with_mention.where(F.col("mention_norm") != "")
         .select(*_CELL_KEY, "mention_norm")
         .join(candidates, "mention_norm")
-        .localCheckpoint(True)  # consumed by phase 1 and phase 2
-    )
+    )  # consumed by phase 1 and phase 2
 
     w1 = Window.partitionBy(*_CELL_KEY).orderBy(
         F.desc("score"), F.desc("popularity"), F.asc("uri")
     )
-    prelim = (
+    prelim = _mat(
         linked.withColumn("rn", F.row_number().over(w1))
         .where(F.col("rn") == 1)
         .select(*_CELL_KEY, "uri")
-        .localCheckpoint(True)  # consumed by votes and col_n
-    )
+    )  # consumed by votes and col_n
 
     votes = (
         prelim.join(entity_types, "uri")

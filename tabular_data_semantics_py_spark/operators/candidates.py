@@ -77,6 +77,7 @@ def generate_candidates(
     entity_index: DataFrame,
     top_k: int = TOP_K_CANDIDATES,
     max_token_df: int | None = None,
+    fused: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (cells_with_mention, candidates).
 
@@ -113,11 +114,19 @@ def generate_candidates(
     )
     mentions = bridge.select("mention_norm").dropDuplicates(["mention_norm"])
 
-    index_keys = build_index_keys(entity_index).localCheckpoint(True)
+    # in fused mode these flow into one action (ReuseExchange dedups
+    # the shared subtrees); eager barriers only when stages are
+    # consumed across separate driver actions
+    def _mat(df: DataFrame) -> DataFrame:
+        return df if fused else df.localCheckpoint(True)
 
-    exact = mentions.join(
-        index_keys, mentions.mention_norm == index_keys.key_norm
-    ).select("mention_norm", "uri", F.lit(1.0).alias("score")).localCheckpoint(True)
+    index_keys = _mat(build_index_keys(entity_index))
+
+    exact = _mat(
+        mentions.join(
+            index_keys, mentions.mention_norm == index_keys.key_norm
+        ).select("mention_norm", "uri", F.lit(1.0).alias("score"))
+    )
 
     # fuzzy fallback for mentions with no exact hit (token blocking)
     unmatched = mentions.join(

@@ -17,6 +17,8 @@ has depth ≥ 1.
 
 from __future__ import annotations
 
+import heapq
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -24,10 +26,64 @@ from pyspark.sql import functions as F
 def build_closure(
     edges: DataFrame,
     equivalent: DataFrame | None = None,
-    max_doublings: int = 4,
 ) -> DataFrame:
     """edges(class_uri, parent_uri) [+ equivalent(a, b)] →
     closure(class_uri, ancestor_uri, depth) with minimal depth.
+
+    The ontology is a broadcast-scale dimension by design (SURVEY.md
+    §1.1: dbpedia.owl is 2.3k classes; even 10^6 classes collect in
+    MBs), so the closure is computed once on the driver with Dijkstra
+    over the collected edge list — one collect + one Arrow
+    createDataFrame instead of O(log diameter) shuffle jobs. For a
+    hierarchy too big to collect, fall back to
+    ``build_closure_distributed``.
+    """
+    edge_rows = [(r[0], r[1], 1) for r in edges.collect()]
+    if equivalent is not None:
+        for r in equivalent.collect():
+            edge_rows.append((r[0], r[1], 0))
+            edge_rows.append((r[1], r[0], 0))
+
+    adj: dict[str, list[tuple[str, int]]] = {}
+    nodes: set[str] = set()
+    for s, d, w in edge_rows:
+        adj.setdefault(s, []).append((d, w))
+        nodes.add(s)
+        nodes.add(d)
+
+    out_rows: list[tuple[str, str, int]] = []
+    for src in sorted(nodes):
+        dist: dict[str, int] = {src: 0}
+        heap: list[tuple[int, str]] = [(0, src)]
+        while heap:
+            dd, n = heapq.heappop(heap)
+            if dd > dist.get(n, 1 << 30):
+                continue
+            for m, w in adj.get(n, ()):
+                nd = dd + w
+                if nd < dist.get(m, 1 << 30):
+                    dist[m] = nd
+                    heapq.heappush(heap, (nd, m))
+        for dst, dd in dist.items():
+            if dst != src:
+                out_rows.append((src, dst, dd))
+
+    import pandas as pd
+
+    spark = edges.sparkSession
+    pdf = pd.DataFrame(out_rows, columns=["class_uri", "ancestor_uri", "depth"])
+    return spark.createDataFrame(
+        pdf, "class_uri string, ancestor_uri string, depth int"
+    ).coalesce(1)
+
+
+def build_closure_distributed(
+    edges: DataFrame,
+    equivalent: DataFrame | None = None,
+    max_doublings: int = 4,
+) -> DataFrame:
+    """Distributed variant (iterative self-join doubling) for
+    hierarchies too large to collect.
 
     ``max_doublings`` bounds path length at 2^max_doublings edges —
     16 by default, deeper than any real class hierarchy (dbpedia.owl

@@ -44,8 +44,13 @@ def emit_triples(
     cells: DataFrame,
     cea_df: DataFrame,
     cta_df: DataFrame,
+    fused: bool = False,
 ) -> DataFrame:
-    """cells = full parse output (header rows included, row == -1)."""
+    """cells = full parse output (header rows included, row == -1).
+
+    ``fused=True``: rely on ReuseExchange for the rows_present subtree
+    (7 identical consumers in one union action) instead of an eager
+    materialization barrier."""
     base = F.lit(TABLE_BASE)
 
     headers = cells.where(F.col("row") == -1)
@@ -69,8 +74,9 @@ def emit_triples(
             F.max(F.when(F.col("col") == 0, F.col("cell"))).alias("main_cell"),
         )
         .where(F.col("max_len") > 0)
-        .localCheckpoint(True)  # consumed by 7 union branches below
     )
+    if not fused:
+        rows_present = rows_present.localCheckpoint(True)  # 7 consumers
     row_uri = F.concat(
         base, F.col("table_id"), F.lit("-col-0-row-"),
         F.col("row").cast("string"),

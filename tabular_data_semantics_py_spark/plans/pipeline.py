@@ -56,20 +56,33 @@ class PipelineResult:
             raise AttributeError(name) from e
 
 
+# stages whose output is consumed by 2+ downstream branches AND carries
+# pandas-UDF columns (Catalyst re-evaluates Python UDFs per reference):
+# these stay eagerly materialized even in fused mode. Everything else
+# flows lazily into one AQE-planned DAG — the answer to the round-1
+# stage-barrier tax (8 sequential full materializations → 3).
+# cells: the mapInPandas CSV parse, consumed by candidates + emission.
+_FUSED_BARRIERS = {"cells", "entity_types", "cea"}
+
+
 class _Checkpointer:
-    def __init__(self, spark: SparkSession, root: str | None, resume: bool):
+    def __init__(self, spark: SparkSession, root: str | None, resume: bool,
+                 materialize: str = "auto"):
         self.spark = spark
         self.root = root
         self.resume = resume
+        self.materialize = materialize
         self.metrics: list[dict] = []
 
     def stage(self, name: str, compute) -> DataFrame:
         if self.root is None:
-            # no checkpointing: localCheckpoint truncates the logical
-            # plan at the stage boundary — without it Catalyst re-analyzes
-            # the whole upstream tree (which self-references subplans and
-            # grows exponentially) on every downstream action
-            return compute().localCheckpoint()
+            if self.materialize == "all" or name in _FUSED_BARRIERS:
+                # localCheckpoint truncates the logical plan at the
+                # stage boundary — without it Catalyst re-analyzes the
+                # self-referencing upstream tree per action and re-runs
+                # the stage's pandas UDFs once per consumer
+                return compute().localCheckpoint()
+            return compute()
         path = os.path.join(self.root, name)
         done = os.path.exists(os.path.join(path, "_SUCCESS"))
         if self.resume and done:
@@ -109,13 +122,28 @@ def run_pipeline(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     stop_after: str | None = None,
+    materialize: str = "auto",
 ) -> PipelineResult:
     """dfs: the corpus tables (see sources.corpus_to_dataframes).
 
     ``stop_after='cea'`` simulates a mid-run kill at a stage boundary;
     a later call with the same checkpoint_dir resumes from there.
+
+    ``materialize`` (no-checkpoint mode only): 'auto' fuses the DAG —
+    only the multi-consumed UDF-bearing stages are eagerly
+    materialized and a single action on ``triples`` runs one
+    AQE-planned plan; 'all' eagerly materializes every stage (use when
+    the result's intermediate stages will be queried repeatedly, e.g.
+    the driver-contract registry).
     """
-    ck = _Checkpointer(spark, checkpoint_dir, resume)
+    ck = _Checkpointer(spark, checkpoint_dir, resume, materialize)
+    # stage-level fusion only: measured at sf0.1, removing the
+    # operators' *internal* eager barriers as well (fused=True through
+    # cea/candidates/emit) is 2-3× SLOWER — the un-materialized fuzzy
+    # scoring subtree gets re-executed per consumer and ReuseExchange
+    # does not collapse the near-identical exchanges. The flags stay
+    # plumbed for plan experiments.
+    fused = False
     res = PipelineResult()
 
     def upto(name: str) -> bool:
@@ -159,13 +187,13 @@ def run_pipeline(
     cells_m_holder: dict[str, DataFrame] = {}
 
     def _cands() -> DataFrame:
-        cm, cand = generate_candidates(data, dfs["entity_index"])
+        cm, cand = generate_candidates(data, dfs["entity_index"], fused=fused)
         cells_m_holder["cells_m"] = cm
         return cand
 
     res.stages["candidates"] = ck.stage("candidates", _cands)
     if "cells_m" not in cells_m_holder:
-        cm, _ = generate_candidates(data, dfs["entity_index"])
+        cm, _ = generate_candidates(data, dfs["entity_index"], fused=fused)
         cells_m_holder["cells_m"] = cm
     cells_m = cells_m_holder["cells_m"]
 
@@ -187,7 +215,8 @@ def run_pipeline(
     res.stages["cea"] = ck.stage(
         "cea",
         lambda: cea_op(
-            cells_m, res.stages["candidates"], res.stages["entity_types"]
+            cells_m, res.stages["candidates"], res.stages["entity_types"],
+            fused=fused,
         ),
     )
     if upto("cta"):
@@ -212,7 +241,9 @@ def run_pipeline(
         return res
     res.stages["triples"] = ck.stage(
         "triples",
-        lambda: emit_triples(cells, res.stages["cea"], res.stages["cta"]),
+        lambda: emit_triples(
+            cells, res.stages["cea"], res.stages["cta"], fused=fused
+        ),
     )
     ck.finish()
     res.metrics = ck.metrics

@@ -3,6 +3,7 @@
 
 from tabular_data_semantics_py_spark.operators.closure import (
     build_closure,
+    build_closure_distributed,
     closure_to_map,
 )
 
@@ -14,15 +15,19 @@ def test_closure_matches_python(pipeline, corpus):
     assert spark_map == py_map
 
 
-def test_closure_idempotent(spark, dfs):
+def test_closure_driver_matches_distributed(spark, dfs):
+    """The driver-side Dijkstra fast path and the distributed doubling
+    variant must agree exactly (incl. extra doubling rounds, which must
+    not add pairs or lower depths)."""
     c1 = build_closure(dfs["ontology_edges"], dfs["ontology_equivalent"])
     rows = {(r.class_uri, r.ancestor_uri, r.depth) for r in c1.collect()}
-    # re-running the doubling over an already-complete closure must not
-    # add pairs or lower depths
-    c2 = build_closure(dfs["ontology_edges"], dfs["ontology_equivalent"],
-                       max_doublings=7)
-    rows2 = {(r.class_uri, r.ancestor_uri, r.depth) for r in c2.collect()}
-    assert rows == rows2
+    for doublings in (4, 7):
+        c2 = build_closure_distributed(
+            dfs["ontology_edges"], dfs["ontology_equivalent"],
+            max_doublings=doublings,
+        )
+        rows2 = {(r.class_uri, r.ancestor_uri, r.depth) for r in c2.collect()}
+        assert rows == rows2
 
 
 def test_equivalence_depth_zero(pipeline):
