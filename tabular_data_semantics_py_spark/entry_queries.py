@@ -1288,24 +1288,49 @@ def emb_cosine_pairs_fast(spark, sf_dir):
     )
 
 
-# --- rows-only operators (no SQL-expressible oracle) -----------------------
+# word-3-gram-shingle Jaccard oracle: shingles built in SQL exactly
+# like operators/dedup.word_sets(ngram=3) incl. the partial trailing
+# shingle for docs shorter than 3 tokens (chr(31) = the \x1f joiner)
+_SHINGLE_JACCARD_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, list_distinct(
+           list_transform(
+             generate_series(1, greatest(len(t) - 2, 1)),
+             i -> array_to_string(t[i:i+2], chr(31))))
+         AS words
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j,
+         len(list_intersect(a.words, b.words)) AS inter,
+         len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)) AS uni
+  FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+)
+SELECT i, j, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni
+FROM pairs WHERE inter >= {t} * uni
+"""
 
-@q("doc_minhash_lsh_shingle")
+
+@q("doc_minhash_lsh_shingle", lambda: _SHINGLE_JACCARD_ORACLE.format(t="0.8"))
 def doc_minhash_lsh_shingle(spark, sf_dir):
-    """MinHash-LSH over word 3-gram shingles (16 hashes, 2-row bands)
-    — the realistic web-corpus configuration where similarity is
-    sparse and banding prunes aggressively. Shingle hashing has no
-    DuckDB equivalent → rows-only."""
+    """MinHash-LSH over word 3-gram shingles — the realistic
+    web-corpus configuration where similarity is sparse and banding
+    prunes aggressively. 16 single-row bands (P(miss at j≥0.8) ≤
+    0.2^16 ≈ 7e-12) + exact shingle-Jaccard verification ⇒ output
+    equals the exact pairwise shingle-Jaccard oracle."""
     from .operators.dedup import minhash_lsh_pairs
 
     d = minhash_lsh_pairs(
         _load(spark, sf_dir, "documents"), 0.8,
-        n_hashes=16, rows_per_band=2, ngram=3,
+        n_hashes=16, rows_per_band=1, ngram=3,
     )
     return d.select(
         "i", "j", F.col("inter").cast("long").alias("inter"),
         F.col("uni").cast("long").alias("uni"),
     )
+
+
+# --- rows-only operators (no SQL-expressible oracle) -----------------------
 
 
 

@@ -58,10 +58,18 @@ def word_sets(
     if ngram == 1:
         arr = toks
     else:
-        n = F.size(toks)
+        # arrays_zip over ngram shifted slices: O(T) per doc. (The
+        # seemingly-natural transform(sequence(...), i -> slice(toks,
+        # i+1, n)) is O(T^2) per doc — slice with a non-literal start
+        # re-copies per element — measured 5-10x slower at sf0.1.)
+        m = F.greatest(F.size(toks) - (ngram - 1), F.lit(1))
+        z = F.arrays_zip(
+            *[F.slice(toks, 1 + k, m).alias(f"t{k}") for k in range(ngram)]
+        )
+        # concat_ws skips the NULLs arrays_zip pads short docs with,
+        # matching the partial trailing shingle of the naive form
         arr = F.transform(
-            F.sequence(F.lit(0), F.greatest(n - ngram, F.lit(0))),
-            lambda i: F.concat_ws("\x1f", F.slice(toks, i + 1, ngram)),
+            z, lambda s: F.concat_ws("\x1f", *[s[f"t{k}"] for k in range(ngram)])
         )
     return docs.select(
         F.col(id_col).alias("id"), F.array_distinct(arr).alias("words")
@@ -122,12 +130,14 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 1,
+    ws: DataFrame | None = None,
 ) -> DataFrame:
     """→ (id, mh_0..mh_{n-1}): per-doc MinHash over word sets, fully
-    JVM-side via min(xxhash64(token, seed))."""
-    tok = word_sets(docs, text_col, id_col, ngram).select(
-        "id", F.explode("words").alias("w")
-    )
+    JVM-side via min(xxhash64(token, seed)). ``ws``: precomputed
+    ``word_sets`` output to share with a verification stage."""
+    if ws is None:
+        ws = word_sets(docs, text_col, id_col, ngram)
+    tok = ws.select("id", F.explode("words").alias("w"))
     aggs = [
         F.min(F.xxhash64(F.col("w"), F.lit(i))).alias(f"mh_{i}")
         for i in range(n_hashes)
@@ -143,6 +153,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection with exact-Jaccard verification.
 
@@ -151,8 +162,19 @@ def minhash_lsh_pairs(
     verified exactly, so output ≡ ``jaccard_pairs`` restricted to
     LSH-recalled pairs. P(miss) = (1 - t^r)^(n/r); defaults give
     (1-t)^16 — ~1e-16 at t=0.9.
+
+    ``max_bucket_size``: the standard LSH hot-bucket guard — buckets
+    with more members are skipped for pairing, bounding the candidate
+    fan-out to O(B·members) under massive duplicate clusters (the
+    100 TB regime where one boilerplate page yields 10^6 copies whose
+    buckets would otherwise explode quadratically). Recall trade-off:
+    a pair is missed only if EVERY band bucket containing both docs is
+    hot. None = exact banding (oracle-checked configs).
     """
-    sig = minhash_signatures(docs, n_hashes, text_col, id_col, ngram)
+    # shingle once, share between the signature and verify paths (the
+    # shingle transform + scan would otherwise run 3x)
+    ws = word_sets(docs, text_col, id_col, ngram).localCheckpoint()
+    sig = minhash_signatures(docs, n_hashes, text_col, id_col, ngram, ws=ws)
     n_bands = n_hashes // rows_per_band
     band_rows = sig.select(
         "id",
@@ -173,6 +195,16 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        hot = (
+            band_rows.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        band_rows = band_rows.join(
+            F.broadcast(hot), ["band", "bucket"], "left_anti"
+        )
     l = band_rows.select(F.col("id").alias("i"), "band", "bucket")
     r = band_rows.select(F.col("id").alias("j"), "band", "bucket")
     cand = (
@@ -182,7 +214,6 @@ def minhash_lsh_pairs(
         .dropDuplicates(["i", "j"])
     )
     # exact verify on candidates only
-    ws = word_sets(docs, text_col, id_col, ngram)
     wa = ws.select(F.col("id").alias("i"), F.col("words").alias("wi"))
     wb = ws.select(F.col("id").alias("j"), F.col("words").alias("wj"))
     return (

@@ -1,0 +1,61 @@
+"""LSH hot-bucket guard and shingle-expression equivalence
+(operators/dedup.py scale guards)."""
+
+from pyspark.sql import functions as F
+
+from tabular_data_semantics_py_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    word_sets,
+)
+
+SF001 = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _docs(spark):
+    return spark.read.parquet(SF001)
+
+
+def test_hot_bucket_cap_is_subset(spark):
+    """Capped banding may only LOSE candidate pairs (recall trade-off),
+    never invent them; verified output stays a subset."""
+    docs = _docs(spark)
+    full = {
+        (r.i, r.j)
+        for r in minhash_lsh_pairs(docs, 0.9, 16, 1).select("i", "j").collect()
+    }
+    capped = {
+        (r.i, r.j)
+        for r in minhash_lsh_pairs(docs, 0.9, 16, 1, max_bucket_size=3)
+        .select("i", "j")
+        .collect()
+    }
+    assert capped <= full
+
+
+def test_shingle_expr_matches_python(spark):
+    """arrays_zip shingling == the naive Python sliding window,
+    including the partial trailing shingle for docs < ngram tokens."""
+    rows = [
+        ("a b c d e",),
+        ("a b",),
+        ("a",),
+        ("x y z",),
+    ]
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["text"]))
+    df = df.withColumn("doc_id", F.monotonically_increasing_id())
+    got = {
+        tuple(sorted(r.words))
+        for r in word_sets(df, ngram=3).collect()
+    }
+
+    def py_shingles(t):
+        toks = t.split(" ")
+        n = max(len(toks) - 2, 1)
+        return sorted({
+            "\x1f".join(toks[i:i + 3]) for i in range(n)
+        })
+
+    want = {tuple(py_shingles(t)) for (t,) in rows}
+    assert got == want
