@@ -91,35 +91,176 @@ def cosine_pairs_blocked(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
+    margin: float = 1e-6,
 ) -> DataFrame:
-    """Block nested-loop cosine pairs via numpy GEMM in mapInPandas:
-    the full (normalized) matrix is broadcast, each partition GEMMs
-    its block against it — no O(n²) shuffle rows, per-partition BLAS.
-    At true scale the broadcast side becomes a loop over matrix
-    chunks; the plumbing is identical. Output ≡ ``cosine_pairs``.
+    """Block-partitioned GEMM cosine pairs — the pattern that scales:
+    NOTHING is collected to the driver.
+
+    1. Each vector gets a deterministic block id ``pmod(xxhash64(id),
+       B)``; it is replicated to every block *pair* it participates in
+       (≤ B+1 copies — the classic block nested-loop replication,
+       total shuffle O(n·B) with B ≈ √(n/rows_per_task)).
+    2. ``applyInPandas`` per block pair runs one float64 BLAS GEMM over
+       the pair's two sub-matrices and emits candidate pairs at
+       ``threshold - margin``.
+    3. Candidates (tiny vs n²) are re-verified JVM-side with the exact
+       sequential-fold ``cosine_expr`` at ``threshold`` — the SAME
+       operation order as the ANSI-SQL oracle, so GEMM's different FP
+       rounding can never flip a boundary pair (ADVICE round-1 note).
+
+    Output ≡ ``cosine_pairs``.
+    """
+    tagged = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        .cast("int").alias("blk"),
+    )
+    # L side covers pairs (blk, bj) for bj >= blk (incl. the diagonal);
+    # R side covers pairs (bi, blk) for bi < blk — each unordered block
+    # pair sees every member exactly once per side
+    lside = tagged.select(
+        "vid", "vec",
+        F.col("blk").alias("bi"),
+        F.explode(
+            F.sequence(F.col("blk"), F.lit(n_blocks - 1))
+        ).alias("bj"),
+        F.lit(True).alias("is_l"),
+    ).select("bi", "bj", "vid", "vec", "is_l")
+    rside = tagged.select(
+        "vid", "vec",
+        F.explode(
+            F.when(
+                F.col("blk") > 0,
+                F.sequence(F.lit(0), F.col("blk") - 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit(False).alias("is_l"),
+    ).select("bi", "bj", "vid", "vec", "is_l")
+
+    cut = threshold - margin
+
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        bi, bj = key
+        lm = pdf[pdf["is_l"].to_numpy()]
+        ids_l = lm["vid"].to_numpy()
+        L = np.array(list(lm["vec"]), dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            Ln = L / np.linalg.norm(L, axis=1, keepdims=True)
+            if bi == bj:
+                sims = Ln @ Ln.T
+                ids_r = ids_l
+            else:
+                rm = pdf[~pdf["is_l"].to_numpy()]
+                ids_r = rm["vid"].to_numpy()
+                R = np.array(list(rm["vec"]), dtype=np.float64)
+                Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+                sims = Ln @ Rn.T
+        mask = (sims >= cut) & (ids_l[:, None] != ids_r[None, :])
+        r, c = np.nonzero(mask)
+        ii, jj = ids_l[r], ids_r[c]
+        lo = np.minimum(ii, jj)
+        hi = np.maximum(ii, jj)
+        keep = lo < hi
+        out = pd.DataFrame({"i": lo[keep], "j": hi[keep]})
+        return out.drop_duplicates()  # diagonal emits both (i,j),(j,i)
+
+    cand = (
+        lside.unionByName(rside)
+        .groupBy("bi", "bj")
+        .applyInPandas(gemm, "i long, j long")
+    )
+
+    # exact fold-order re-verification (operand order == oracle)
+    va = emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "i")
+        .join(vb, "j")
+        .where(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
+        .select("i", "j")
+    )
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    spark,
+    n_centroids: int = 8,
+    kmeans_iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Seeded IVF centroid training, fully distributed:
+
+    - init: deterministic hash-sample ``orderBy(xxhash64(id, seed))
+      .limit(k)`` — representative regardless of id layout (the
+      round-1 'first k ids' seed collapses when low ids cluster);
+    - ``kmeans_iters`` Lloyd iterations where each mapInPandas
+      partition emits per-centroid partial (count, sum-vector) — the
+      map-side-combine pattern: the driver only ever sees
+      k × n_partitions tiny rows, never vectors.
+
+    Returns the normalized centroid matrix (numpy, k × dim).
     """
     import numpy as np
 
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    b = spark.sparkContext.broadcast((ids, Mn))
+    def _norm(M):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return M / np.linalg.norm(M, axis=1, keepdims=True)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_m = b.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            sims = Vn @ all_m.T
-            bi = pdf[id_col].to_numpy()
-            mask = (sims >= threshold) & (bi[:, None] < all_ids[None, :])
-            r, c = np.nonzero(mask)
-            yield pd.DataFrame({"i": bi[r], "j": all_ids[c]})
+    init_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    C = _norm(np.array([list(r[1]) for r in init_rows], dtype=np.float64))
+    sc = spark.sparkContext
 
-    return emb.select(id_col, vec_col).mapInPandas(run, "i long, j long")
+    for _ in range(kmeans_iters):
+        bC = sc.broadcast(C)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cl = bC.value
+            acc_n = np.zeros(len(Cl), dtype=np.int64)
+            acc_s = np.zeros_like(Cl)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(list(pdf[vec_col]), dtype=np.float64)
+                Vn = _norm(V)
+                a = np.nan_to_num(Vn @ Cl.T).argmax(axis=1)
+                np.add.at(acc_n, a, 1)
+                np.add.at(acc_s, a, np.nan_to_num(Vn))
+            nz = np.nonzero(acc_n)[0]
+            yield pd.DataFrame(
+                {
+                    "c": nz.astype("int64"),
+                    "n": acc_n[nz],
+                    "s": [acc_s[i].tolist() for i in nz],
+                }
+            )
+
+        rows = (
+            emb.select(vec_col)
+            .mapInPandas(partials, "c long, n long, s array<double>")
+            .collect()
+        )
+        cnt = np.zeros(len(C), dtype=np.int64)
+        sm = np.zeros_like(C)
+        for r in sorted(rows, key=lambda r: r["c"]):
+            cnt[r["c"]] += r["n"]
+            sm[r["c"]] += np.array(r["s"], dtype=np.float64)
+        moved = cnt > 0
+        C = C.copy()
+        C[moved] = sm[moved] / cnt[moved, None]
+        C = _norm(C)
+    return C
 
 
 def ivf_knn(
@@ -129,25 +270,24 @@ def ivf_knn(
     k: int = 3,
     n_centroids: int = 8,
     n_probe: int = 2,
+    kmeans_iters: int = 2,
+    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: deterministic centroids (the first n_centroids
-    vectors by id — a k-means seed step, pinned for reproducibility),
-    partition vectors by nearest centroid, search only the n_probe
-    closest centroids per query. numpy GEMM in mapInPandas on both
-    sides; approximate by construction (rows-only correctness check).
+    """IVF-style ANN: seeded-sample + k-means-trained centroids
+    (``train_ivf_centroids``), vectors assigned to their nearest
+    centroid *carrying the vector through the assignment* (no fact-
+    table self-join), search only the ``n_probe`` closest centroids
+    per query. Approximate by construction (rows-only correctness
+    check; recall@k vs the exact kNN asserted in pytest).
     """
     import numpy as np
 
-    cent_rows = (
-        emb.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    Cn = train_ivf_centroids(
+        emb, spark, n_centroids, kmeans_iters, seed, id_col, vec_col
     )
-    C = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     bC = spark.sparkContext.broadcast(Cn)
-
-    out_schema = f"{id_col} long, centroid int"
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Cl = bC.value
@@ -155,28 +295,38 @@ def ivf_knn(
             if not len(pdf):
                 continue
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "centroid": (Vn @ Cl.T).argmax(axis=1)}
-            )
+            with np.errstate(invalid="ignore", divide="ignore"):
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            out = pdf[[id_col, vec_col]].copy()
+            out["centroid"] = np.nan_to_num(Vn @ Cl.T).argmax(axis=1)
+            yield out
 
-    assigned = emb.select(id_col, vec_col).mapInPandas(assign, out_schema)
-    inv = emb.join(assigned, id_col)
+    inv = emb.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, {vec_col} array<double>, centroid int"
+    )
 
     q_rows = emb.where(F.col(id_col).isin(query_ids)).collect()
     Q = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    probes = np.argsort(-(Qn @ Cn.T), axis=1)[:, :n_probe]
-    probe_rows = [
-        (int(r[id_col]), int(c))
-        for r, pr in zip(q_rows, probes)
-        for c in pr
-    ]
-    probe_df = spark.createDataFrame(probe_rows, "query_id long, centroid int")
-    qdf = spark.createDataFrame(
-        [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in q_rows],
-        f"query_id long, qv array<double>",
+    with np.errstate(invalid="ignore", divide="ignore"):
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probes = np.argsort(-np.nan_to_num(Qn @ Cn.T), axis=1)[:, :n_probe]
+    probe_pdf = pd.DataFrame(
+        [
+            (int(r[id_col]), int(c))
+            for r, pr in zip(q_rows, probes)
+            for c in pr
+        ],
+        columns=["query_id", "centroid"],
     )
+    probe_df = spark.createDataFrame(probe_pdf, "query_id long, centroid int")
+    q_pdf = pd.DataFrame(
+        [
+            (int(r[id_col]), [float(x) for x in r[vec_col]])
+            for r in q_rows
+        ],
+        columns=["query_id", "qv"],
+    )
+    qdf = spark.createDataFrame(q_pdf, "query_id long, qv array<double>")
     cand = (
         inv.join(F.broadcast(probe_df), "centroid")
         .join(F.broadcast(qdf), "query_id")
