@@ -231,30 +231,16 @@ def minhash_lsh_pairs(
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """→ (id, simhash): 64-bit SimHash over word tokens (numpy
-    vectorized pandas UDF; hamming-close fingerprints ⇒ near-dups)."""
-    import numpy as np
+    """→ (id, simhash): 64-bit SimHash over word tokens (hamming-close
+    fingerprints ⇒ near-dups).
 
-    @pandas_udf(LongType())
-    def _simhash(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = (t or "").split()
-            if not toks:
-                out.append(0)
-                continue
-            hs = np.array(
-                [hash64(tok) for tok in toks], dtype=np.uint64
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int64
-            )
-            v = np.where(bits.sum(axis=0) * 2 >= len(toks), 1, 0).astype(
-                np.uint64
-            )
-            out.append(int((v << np.arange(64, dtype=np.uint64)).sum()
-                           .astype(np.int64)))
-        return pd.Series(out, dtype="int64")
+    Vectorized over each Arrow batch's *distinct* tokens: every token
+    is blake2b-hashed and bit-expanded once per batch (real corpora
+    repeat tokens heavily — Zipf), then per-doc signatures are ±1
+    row-gathers + a sum. Majority rule: bit set iff ones*2 >= n_tokens
+    (ties set the bit), duplicates counted per occurrence.
+    """
+    import numpy as np
 
     def hash64(s: str) -> int:
         import hashlib
@@ -262,6 +248,37 @@ def simhash64(
         return int.from_bytes(
             hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
         )
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        tok_lists = [(t or "").split() for t in texts]
+        idx: dict[str, int] = {}
+        for toks in tok_lists:
+            for tok in toks:
+                if tok not in idx:
+                    idx[tok] = len(idx)
+        if idx:
+            hs = np.fromiter(
+                (hash64(t) for t in idx), dtype=np.uint64, count=len(idx)
+            )
+            # ±1 bit table: one row per distinct token
+            bit_tab = (
+                ((hs[:, None] >> shifts) & 1).astype(np.int32) * 2 - 1
+            )
+        out = []
+        for toks in tok_lists:
+            if not toks:
+                out.append(0)
+                continue
+            rows = np.fromiter(
+                (idx[t] for t in toks), dtype=np.int64, count=len(toks)
+            )
+            v = bit_tab[rows].sum(axis=0)
+            bits = (v >= 0).astype(np.uint64)  # == ones*2 >= n
+            out.append(int((bits << shifts).sum().astype(np.int64)))
+        return pd.Series(out, dtype="int64")
 
     return docs.select(
         F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash")

@@ -32,6 +32,42 @@ def test_hot_bucket_cap_is_subset(spark):
     assert capped <= full
 
 
+def test_simhash_matches_scalar_reference(spark):
+    """The vocab-vectorized SimHash equals the naive per-token scalar
+    definition (bit b set iff ones*2 >= n over duplicated tokens)."""
+    import hashlib
+
+    import pandas as pd
+
+    from tabular_data_semantics_py_spark.operators.dedup import simhash64
+
+    texts = ["a b c a", "", "a", "x y z x y z", "the quick brown fox"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {r.id: r.simhash for r in simhash64(df).collect()}
+
+    def ref(t):
+        toks = t.split()
+        if not toks:
+            return 0
+        hs = [
+            int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+            )
+            for tok in toks
+        ]
+        v = 0
+        for b in range(64):
+            ones = sum((h >> b) & 1 for h in hs)
+            if ones * 2 >= len(toks):
+                v |= 1 << b
+        return v - (1 << 64) if v >= (1 << 63) else v  # as signed int64
+
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), (i, t)
+
+
 def test_shingle_expr_matches_python(spark):
     """arrays_zip shingling == the naive Python sliding window,
     including the partial trailing shingle for docs < ngram tokens."""
