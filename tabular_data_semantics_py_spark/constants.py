@@ -67,6 +67,30 @@ DISAMBIGUATION_CLASS = ONTOLOGY_NS + "DisambiguationPage"
 # Redirect edge predicate (kg/endpoints.py:400-409 dbo:wikiPageRedirects).
 REDIRECT_PRED = PROPERTY_NS + "wikiPageRedirects"
 
+# OWL meta-vocabulary classes excluded from projected rdf:type triples
+# (reference: ontology/ontology_projection.py getQueryForAllClassTypes,
+# 1046-1066 FILTER list).
+_OWL = "http://www.w3.org/2002/07/owl#"
+META_CLASSES = frozenset(
+    {
+        _OWL + "Ontology",
+        _OWL + "AnnotationProperty",
+        _OWL + "ObjectProperty",
+        _OWL + "Class",
+        _OWL + "DatatypeProperty",
+        _OWL + "Restriction",
+        _OWL + "NamedIndividual",
+        _OWL + "Thing",
+        _OWL + "TransitiveProperty",
+        _OWL + "FunctionalProperty",
+        _OWL + "InverseFunctionalProperty",
+        _OWL + "SymmetricProperty",
+        _OWL + "AsymmetricProperty",
+        _OWL + "ReflexiveProperty",
+        _OWL + "IrreflexiveProperty",
+    }
+)
+
 # --- linking knobs (pinned; see SURVEY.md §7 "Determinism") ---------------
 TOP_K_CANDIDATES = 5  # lookup maxResults default (kg/lookup.py:95-106)
 FUZZY_MIN_SCORE = 0.5  # minimum lexical score for a fuzzy candidate

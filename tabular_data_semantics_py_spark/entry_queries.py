@@ -717,6 +717,87 @@ def kg_onto_projection(spark, sf_dir):
     return edges.union(eq_sub).union(dr)
 
 
+def _o_projection_full():
+    corpus, _, _ = _fixture()
+    avoid = ", ".join(_s(p) for p in sorted(C.AVOID_PREDICATES))
+    meta = ", ".join(_s(m) for m in sorted(C.META_CLASSES))
+    SUB = _s(C.RDFS_SUBCLASSOF)
+    TYP = _s(C.RDF_TYPE)
+    return f"""
+WITH tr(subj, pred, obj, lit) AS (SELECT * FROM {_values(corpus.triples, "subj, pred, obj, lit")}),
+edges(c, p) AS (SELECT * FROM {_values(corpus.edges, "c, p")}),
+eq(a, b) AS (SELECT * FROM {_values(corpus.equivalent, "a, b")}),
+pm(pred, dom, rng) AS (SELECT * FROM {_values(corpus.property_meta, "pred, dom, rng")}),
+xd(pred, dom) AS (SELECT * FROM {_values(corpus.extra_domains, "pred, dom")}),
+cdom(pred, dom) AS (SELECT * FROM {_values(corpus.complex_domains, "pred, dom")}),
+crng(pred, rng) AS (SELECT * FROM {_values(corpus.complex_ranges, "pred, rng")}),
+restr(cls, kind, pred, filler) AS (SELECT * FROM {_values(corpus.restrictions, "cls, kind, pred, filler")}),
+ip(p, q) AS (SELECT * FROM {_values(corpus.inverse_props, "p, q")}),
+ep(p, q) AS (SELECT * FROM {_values(corpus.equivalent_props, "p, q")}),
+dpm(pred, dom) AS (SELECT * FROM {_values(corpus.data_property_meta, "pred, dom")}),
+drestr(cls, pred) AS (SELECT * FROM {_values(corpus.data_restrictions, "cls, pred")}),
+conj(cls, sup) AS (SELECT * FROM {_values(corpus.conjunct_atoms, "cls, sup")}),
+crestr(cls, pred, filler) AS (SELECT * FROM {_values(corpus.complex_restrictions, "cls, pred, filler")}),
+doms AS (SELECT pred, dom FROM pm UNION SELECT pred, dom FROM xd),
+rngs AS (SELECT DISTINCT pred, rng FROM pm),
+p5 AS (SELECT d.dom AS subj, d.pred AS pred, r.rng AS obj
+       FROM doms d JOIN rngs r ON d.pred = r.pred),
+p6 AS (SELECT cd.dom, cd.pred, cr.rng FROM cdom cd JOIN crng cr ON cd.pred = cr.pred),
+p7 AS (SELECT cls, pred, filler FROM restr),
+roles AS (SELECT subj, pred, obj FROM tr
+          WHERE NOT lit AND pred <> {TYP} AND pred NOT IN ({avoid})),
+td AS (SELECT * FROM p5 UNION ALL SELECT * FROM p6
+       UNION ALL SELECT * FROM p7 UNION ALL SELECT * FROM roles),
+ips AS (SELECT p, q FROM ip UNION SELECT q, p FROM ip),
+eps AS (SELECT p, q FROM ep UNION SELECT q, p FROM ep),
+p8 AS (SELECT td.obj, i.q, td.subj FROM td JOIN ips i ON td.pred = i.p),
+p9 AS (SELECT td.subj, e.q, td.obj FROM td JOIN eps e ON td.pred = e.p),
+tbx AS (SELECT * FROM p5 UNION ALL SELECT * FROM p7),
+tbox_dom AS (SELECT t.subj, {SUB}, d.dom FROM tbx t
+             JOIN doms d ON t.pred = d.pred WHERE t.subj <> d.dom),
+tbox_rng AS (SELECT t.obj, {SUB}, r.rng FROM tbx t
+             JOIN rngs r ON t.pred = r.pred WHERE t.obj <> r.rng),
+abox_dom AS (SELECT ro.subj, {TYP}, d.dom FROM roles ro
+             JOIN doms d ON ro.pred = d.pred),
+abox_rng AS (SELECT ro.obj, {TYP}, r.rng FROM roles ro
+             JOIN rngs r ON ro.pred = r.pred),
+data_tbox AS (SELECT dr.cls, {SUB}, dm.dom FROM drestr dr
+              JOIN dpm dm ON dr.pred = dm.pred WHERE dr.cls <> dm.dom),
+data_abox AS (SELECT t.subj, {TYP}, dm.dom FROM tr t
+              JOIN dpm dm ON t.pred = dm.pred WHERE t.lit),
+p3 AS (SELECT subj, pred, obj FROM tr
+       WHERE pred = {TYP} AND obj NOT IN ({meta})),
+p1 AS (SELECT c AS subj, {SUB} AS pred, p AS obj FROM edges),
+p2 AS (SELECT a, {SUB}, b FROM eq UNION ALL SELECT b, {SUB}, a FROM eq),
+p11a AS (SELECT cls, {SUB}, sup FROM conj),
+p11r AS (SELECT cls, pred, filler FROM crestr),
+allt AS (
+  SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM td
+  UNION ALL SELECT * FROM p8 UNION ALL SELECT * FROM p9
+  UNION ALL SELECT * FROM tbox_dom UNION ALL SELECT * FROM tbox_rng
+  UNION ALL SELECT * FROM abox_dom UNION ALL SELECT * FROM abox_rng
+  UNION ALL SELECT * FROM data_tbox UNION ALL SELECT * FROM data_abox
+  UNION ALL SELECT * FROM p3
+  UNION ALL SELECT * FROM p11a UNION ALL SELECT * FROM p11r
+)
+SELECT DISTINCT subj, pred, obj FROM allt
+"""
+
+
+@q("kg_onto_projection_full", _o_projection_full)
+def kg_onto_projection_full(spark, sf_dir):
+    """P1-P11: the FULL OWL2Vec*-style ontology projection —
+    subsumptions, equivalences, rdf:type w/ meta blocklist, direct +
+    complex domain/range, restrictions (RHS/LHS, all kinds), named
+    inverses, equivalent properties, role assertions, structural
+    domain/range propagation (TBox subsumption / ABox typing), and
+    complex-axiom conjuncts (operators/projection.py; reference
+    ontology/ontology_projection.py:325-933)."""
+    from .operators.projection import ontology_projection_full
+
+    return ontology_projection_full(_dfs(spark))
+
+
 def _o_label_index():
     _, ex, _ = _fixture()
     rows = sorted(

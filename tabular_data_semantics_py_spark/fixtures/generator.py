@@ -36,6 +36,8 @@ from ..constants import (
     AVOID_PREDICATES,
     DISAMBIGUATION_CLASS,
     ONTOLOGY_NS,
+    OWL_CLASS,
+    OWL_NAMED_INDIVIDUAL,
     PROPERTY_NS,
     RDF_TYPE,
     RESOURCE_NS,
@@ -100,6 +102,49 @@ OBJECT_PROPERTIES: list[tuple[str, str, str]] = [
     ("manufacturer", "AutomobileModel", "Company"),
     ("flowsThrough", "River", "Country"),
     ("inRange", "Mountain", "Country"),
+]
+
+# --- OWL constructs for the FULL ontology projection (SURVEY.md §2.9
+# P3/P5-P11; reference ontology/ontology_projection.py:379-537,692-933).
+# All names refer to classes/properties declared above.
+
+# extra atomic rdfs:domain axioms (multi-domain property — exercises the
+# structural TBox/ABox propagation of ref 692-763)
+EXTRA_DOMAINS: list[tuple[str, str]] = [("playsFor", "Person")]
+
+# property with complex (union) domain and range (P6: cross-product
+# projection, ref 465-479); not used in the ABox
+COMPLEX_DR: list[tuple[str, list[str], list[str]]] = [
+    ("features", ["Film", "Album"], ["Person", "MusicalArtist"]),
+]
+
+# P7 restrictions (cls, kind, prop, filler): C ⊑/≡ kind(prop, filler);
+# every kind projects to the edge (cls, prop, filler) and propagates
+# domains/ranges TBox-style (ref 848-933 + 795-817)
+RESTRICTIONS: list[tuple[str, str, str, str]] = [
+    ("Athlete", "some", "playsFor", "SportsTeam"),
+    ("City", "only", "locatedIn", "Country"),
+    ("Film", "min1", "director", "Person"),
+    ("Album", "exactly1", "artist", "MusicalArtist"),
+    ("Mountain", "max1", "inRange", "Country"),
+    ("PopulatedPlace", "some-lhs", "capitalOf", "Country"),
+]
+
+# P8 named inverse / P9 equivalent object properties
+INVERSE_PROPERTIES: list[tuple[str, str]] = [("playsFor", "playedBy")]
+EQUIVALENT_PROPERTIES: list[tuple[str, str]] = [("locatedIn", "situatedIn")]
+
+# data-property restrictions (ref 12b: propagate the data property's
+# domain as an approximate subsumption, no triple emitted)
+DATA_RESTRICTIONS: list[tuple[str, str]] = [("PopulatedPlace", "gdp")]
+
+# P11 complex axioms A ⊑ B ⊓ ∃R.C (ref 797-844): atomic conjuncts
+# become subsumptions, restriction conjuncts become direct edges
+# (incl. union fillers "R some (A or B)") with NO propagation
+CONJUNCT_ATOMS: list[tuple[str, str]] = [("Album", "Work")]
+COMPLEX_RESTRICTIONS: list[tuple[str, str, list[str]]] = [
+    ("Album", "artist", ["Person"]),
+    ("Work", "director", ["Person", "MusicalArtist"]),
 ]
 
 # literal (datatype) properties per class used as extra table columns
@@ -180,6 +225,19 @@ class FixtureCorpus:
     property_meta: list[tuple[str, str, str]]  # pred, domain, range
     tables: list[Table]
     repos: list[tuple[str, str, str, str, str]]  # repo,path,commit,lang,content
+    # OWL projection constructs (URIs; see module-level declarations)
+    extra_domains: list[tuple[str, str]] = field(default_factory=list)
+    complex_domains: list[tuple[str, str]] = field(default_factory=list)
+    complex_ranges: list[tuple[str, str]] = field(default_factory=list)
+    restrictions: list[tuple[str, str, str, str]] = field(default_factory=list)
+    inverse_props: list[tuple[str, str]] = field(default_factory=list)
+    equivalent_props: list[tuple[str, str]] = field(default_factory=list)
+    data_property_meta: list[tuple[str, str]] = field(default_factory=list)
+    data_restrictions: list[tuple[str, str]] = field(default_factory=list)
+    conjunct_atoms: list[tuple[str, str]] = field(default_factory=list)
+    complex_restrictions: list[tuple[str, str, str]] = field(
+        default_factory=list
+    )
 
     def entity_by_uri(self) -> dict[str, Entity]:
         return {e.uri: e for e in self.entities}
@@ -543,6 +601,15 @@ def make_corpus(
             f"# readme {i}\nnot,a,real.csv\n",
         ))
 
+    # OWL meta-typing noise: a real ontology graph types its classes as
+    # owl:Class and individuals as owl:NamedIndividual — P3 must filter
+    # these meta-classes out of projected rdf:type triples
+    # (ontology_projection.py:1046-1066 FILTER list)
+    for c in classes:
+        triples.append((_cls(c), RDF_TYPE, OWL_CLASS, False))
+    for e in base_entities[:5]:
+        triples.append((e.uri, RDF_TYPE, OWL_NAMED_INDIVIDUAL, False))
+
     return FixtureCorpus(
         seed=seed,
         classes=class_rows,
@@ -553,4 +620,32 @@ def make_corpus(
         property_meta=prop_meta,
         tables=tables,
         repos=repos,
+        extra_domains=[(_prop(p), _cls(d)) for p, d in EXTRA_DOMAINS],
+        complex_domains=[
+            (_prop(p), _cls(d)) for p, ds, _rs in COMPLEX_DR for d in ds
+        ],
+        complex_ranges=[
+            (_prop(p), _cls(r)) for p, _ds, rs in COMPLEX_DR for r in rs
+        ],
+        restrictions=[
+            (_cls(c), k, _prop(p), _cls(f)) for c, k, p, f in RESTRICTIONS
+        ],
+        inverse_props=[(_prop(a), _prop(b)) for a, b in INVERSE_PROPERTIES],
+        equivalent_props=[
+            (_prop(a), _prop(b)) for a, b in EQUIVALENT_PROPERTIES
+        ],
+        data_property_meta=sorted(
+            {
+                (_prop(lp), _cls(c))
+                for c, lps in LITERAL_PROPERTIES.items()
+                for lp in lps
+            }
+        ),
+        data_restrictions=[(_cls(c), _prop(p)) for c, p in DATA_RESTRICTIONS],
+        conjunct_atoms=[(_cls(a), _cls(b)) for a, b in CONJUNCT_ATOMS],
+        complex_restrictions=[
+            (_cls(c), _prop(p), _cls(f))
+            for c, p, fs in COMPLEX_RESTRICTIONS
+            for f in fs
+        ],
     )

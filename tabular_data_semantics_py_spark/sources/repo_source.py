@@ -119,6 +119,10 @@ def corpus_to_dataframes(
         _pdf(corpus.classes, ["class_uri", "label"]),
         "class_uri string, label string",
     ).coalesce(1)
+    def _dim(rows, schema: str):
+        cols = [c.split()[0] for c in schema.split(",")]
+        return spark.createDataFrame(_pdf(rows, cols), schema).coalesce(1)
+
     out = {
         "source_repos": repos,
         "entity_index": index,
@@ -127,6 +131,37 @@ def corpus_to_dataframes(
         "ontology_edges": edges,
         "ontology_equivalent": equiv,
         "ontology_classes": classes,
+        # OWL projection constructs (P3/P5-P11 operands; tiny dims)
+        "extra_domains": _dim(
+            corpus.extra_domains, "pred string, domain_uri string"
+        ),
+        "complex_domains": _dim(
+            corpus.complex_domains, "pred string, domain_uri string"
+        ),
+        "complex_ranges": _dim(
+            corpus.complex_ranges, "pred string, range_uri string"
+        ),
+        "restrictions": _dim(
+            corpus.restrictions,
+            "cls string, kind string, pred string, filler string",
+        ),
+        "inverse_props": _dim(corpus.inverse_props, "p string, q string"),
+        "equivalent_props": _dim(
+            corpus.equivalent_props, "p string, q string"
+        ),
+        "data_property_meta": _dim(
+            corpus.data_property_meta, "pred string, domain_uri string"
+        ),
+        "data_restrictions": _dim(
+            corpus.data_restrictions, "cls string, pred string"
+        ),
+        "conjunct_atoms": _dim(
+            corpus.conjunct_atoms, "cls string, sup string"
+        ),
+        "complex_restrictions": _dim(
+            corpus.complex_restrictions,
+            "cls string, pred string, filler string",
+        ),
     }
     # materialize once: python-list createDataFrame is backed by a
     # pickled RDD, so *every* job consuming it would re-run a Python
