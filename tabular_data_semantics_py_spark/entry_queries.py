@@ -615,35 +615,88 @@ def kg_neighborhood(spark, sf_dir):
 def _o_fragment():
     corpus, _, gold = _fixture()
     cea_rows = sorted({(u,) for (_t, _c, _r, u) in gold.cea})
+    main_norms = sorted(
+        {(n,) for (t, c, r), n in gold.mention_norm.items() if c == 0 and n}
+    )
+    cand_rows = []
+    seen = set()
+    for key in sorted(gold.candidates):
+        norm = gold.mention_norm[key]
+        if norm in seen:
+            continue
+        seen.add(norm)
+        for rank, (uri, _score) in enumerate(gold.candidates[key], 1):
+            cand_rows.append((norm, uri, rank))
+    itype_rows = sorted(
+        {
+            (e.uri, t)
+            for e in corpus.entities
+            for t in e.types
+            if t.startswith(C.ONTOLOGY_NS)
+        }
+    )
+    cls_rows = sorted({(cls,) for (_t, _c, cls, _a) in gold.cta})
     avoid = ", ".join(_s(p) for p in sorted(C.AVOID_PREDICATES))
+    TYP = _s(C.RDF_TYPE)
     return f"""
 WITH tr(subj, pred, obj, lit) AS (SELECT * FROM {_values(corpus.triples, "subj, pred, obj, lit")}),
-ents(uri) AS (SELECT * FROM {_values(cea_rows, "uri")}),
-ranked AS (
-  SELECT t.subj, t.pred, t.obj, t.lit AS obj_is_literal,
-         ROW_NUMBER() OVER (PARTITION BY t.subj ORDER BY t.pred, t.obj) AS rn
-  FROM tr t JOIN ents e ON t.subj = e.uri
-  WHERE t.pred NOT IN ({avoid})
-)
-SELECT subj, pred, obj, obj_is_literal FROM ranked WHERE rn <= 5
+cea(uri) AS (SELECT * FROM {_values(cea_rows, "uri")}),
+mains(m) AS (SELECT * FROM {_values(main_norms, "m")}),
+cand(m, uri, rnk) AS (SELECT * FROM {_values(cand_rows, "m, uri, rnk")}),
+itypes(uri, t) AS (SELECT * FROM {_values(itype_rows, "uri, t")}),
+ctacls(cls) AS (SELECT * FROM {_values(cls_rows, "cls")}),
+look AS (SELECT DISTINCT c.uri FROM mains JOIN cand c ON c.m = mains.m
+         WHERE c.rnk <= 3),
+named AS (SELECT uri AS subj, {TYP} AS pred,
+                 {_s(C.OWL_NAMED_INDIVIDUAL)} AS obj, FALSE AS obj_is_literal
+          FROM look),
+ltypes AS (SELECT l.uri, {TYP}, it.t, FALSE
+           FROM look l JOIN itypes it ON l.uri = it.uri),
+mem0 AS (SELECT ctacls.cls, t.subj AS member,
+                ROW_NUMBER() OVER (PARTITION BY ctacls.cls
+                                   ORDER BY t.subj) AS rn
+         FROM tr t JOIN ctacls ON t.obj = ctacls.cls
+         WHERE t.pred = {TYP}),
+members AS (SELECT cls, member FROM mem0 WHERE rn <= 5),
+mtypes AS (SELECT member, {TYP}, cls, FALSE FROM members),
+ents(uri) AS (SELECT uri FROM cea UNION SELECT uri FROM look
+              UNION SELECT member FROM members),
+kind AS (SELECT pred,
+                (2 * SUM(CASE WHEN obj LIKE 'http%' THEN 1 ELSE 0 END)
+                 > COUNT(*)) AS is_object
+         FROM tr GROUP BY pred),
+nb0 AS (SELECT t.subj, t.pred, t.obj,
+               ROW_NUMBER() OVER (PARTITION BY t.subj
+                                  ORDER BY t.pred, t.obj) AS rn
+        FROM tr t JOIN ents e ON t.subj = e.uri
+        WHERE t.pred NOT IN ({avoid})),
+nb AS (SELECT n.subj, n.pred, n.obj, NOT k.is_object
+       FROM nb0 n JOIN kind k ON n.pred = k.pred
+       WHERE n.rn <= 5
+         AND ((k.is_object AND n.obj LIKE {_s(C.RESOURCE_NS + "%")})
+              OR NOT k.is_object)),
+allt AS (SELECT * FROM named UNION ALL SELECT * FROM ltypes
+         UNION ALL SELECT * FROM mtypes UNION ALL SELECT * FROM nb)
+SELECT DISTINCT subj, pred, obj, obj_is_literal FROM allt
 """
 
 
 @q("kg_fragment", _o_fragment)
 def kg_fragment(spark, sf_dir):
-    """E5: KG-fragment extraction — 1-hop neighborhood triples of the
-    CEA-linked entities, blocklist-filtered, capped per entity
-    (oaei/dbpedia_fragment.py:373-443 + kg/endpoints.py:317-338)."""
+    """E5: KG-fragment extraction, ALL THREE arms of
+    oaei/dbpedia_fragment.py — CEA entities (172-211), per-cell lookup
+    top-3 with type triples (234-302), class-instance samples
+    (530-560) — plus the capped 1-hop neighborhood with
+    literal-vs-object routing and the resource-namespace object filter
+    (373-443, 504-528). See operators/fragment.py."""
+    from .operators.fragment import fragment_full
+
     pipe = _pipeline(spark)
-    ents = pipe.stages["cea"].select("uri").distinct()
-    tr = _dfs(spark)["kg_triples"]
-    w = Window.partitionBy("subj").orderBy("pred", "obj")
-    return (
-        tr.join(ents, tr.subj == ents.uri)
-        .where(~F.col("pred").isin(*sorted(C.AVOID_PREDICATES)))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
-        .select("subj", "pred", "obj", "obj_is_literal")
+    dfs = _dfs(spark)
+    return fragment_full(
+        pipe.stages["cea"], pipe.stages["cells_m"],
+        pipe.stages["candidates"], pipe.stages["cta"],
+        dfs["entity_index"], dfs["kg_triples"],
     )
 
 

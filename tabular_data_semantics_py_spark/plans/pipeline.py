@@ -196,6 +196,9 @@ def run_pipeline(
         cm, _ = generate_candidates(data, dfs["entity_index"], fused=fused)
         cells_m_holder["cells_m"] = cm
     cells_m = cells_m_holder["cells_m"]
+    # derived view (not a checkpoint stage): cells + mention_norm,
+    # consumed by CEA here and by the fragment-extraction query
+    res.stages["cells_m"] = cells_m
 
     closure_map = closure_to_map(res.stages["closure"])
 
