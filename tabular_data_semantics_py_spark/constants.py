@@ -97,4 +97,5 @@ FUZZY_MIN_SCORE = 0.5  # minimum lexical score for a fuzzy candidate
 TYPE_BONUS = 0.3  # column-coherence bonus weight in CEA re-scoring
 REDIRECT_MAX_HOPS = 2  # bounded closure (test/challenge_utils.py:441-453)
 PREDICATE_TOP_RANGE = 2  # top-2 range types (kg_matching.py:357-389)
+CEA_TIE_EPS = 1e-9  # multi-entity CEA tie width (challenge_utils.py:336-346)
 PROPERTY_KIND_SAMPLE = 100  # values sampled per predicate (dbpedia_fragment.py:480)

@@ -340,6 +340,28 @@ def kg_cea(spark, sf_dir):
     return _pipeline(spark).stages["cea"].select("table_id", "col", "row", "uri")
 
 
+def _o_cea_multi():
+    _, _, gold = _fixture()
+    return (
+        'SELECT table_id, c AS col, r AS "row", uris FROM '
+        + _values(gold.cea_multi, "table_id, c, r, uris")
+    )
+
+
+@q("kg_cea_multi", _o_cea_multi)
+def kg_cea_multi(spark, sf_dir):
+    """Multi-entity CEA: space-joined URI sets for phase-2 score ties
+    within CEA_TIE_EPS (reference multi-URI CEA cells,
+    challenge_utils.py:336-346,682-707)."""
+    from .operators.annotate import cea_multi
+
+    pipe = _pipeline(spark)
+    return cea_multi(
+        pipe.stages["cells_m"], pipe.stages["candidates"],
+        pipe.stages["entity_types"],
+    )
+
+
 def _o_cta():
     _, _, gold = _fixture()
     return (

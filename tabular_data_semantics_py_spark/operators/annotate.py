@@ -31,18 +31,16 @@ from ..constants import (
 _CELL_KEY = ["table_id", "col", "row"]
 
 
-def cea(
+def _cea_scored(
     cells_with_mention: DataFrame,
     candidates: DataFrame,
     entity_types: DataFrame,
     fused: bool = False,
 ) -> DataFrame:
-    """→ (table_id, col, row, uri): the final cell-entity annotation.
-
-    Phase 1: best candidate per cell by (score, popularity, uri).
-    Phase 2: column type-vote shares from phase-1 picks; final score =
-    score + TYPE_BONUS * max vote-share over the candidate's types;
-    re-pick. Pinned spec in fixtures/oracle.py.
+    """Phase-2 scored candidate table: one row per (cell, candidate)
+    with ``final_score`` = score + TYPE_BONUS * max column vote-share
+    over the candidate's types. Shared by ``cea`` (argmax) and
+    ``cea_multi`` (epsilon-tie set). Pinned spec in fixtures/oracle.py.
 
     ``fused=True`` skips the internal eager materializations so the
     whole two-phase plan runs as ONE action — identical subtrees
@@ -93,13 +91,51 @@ def cea(
             + F.lit(TYPE_BONUS) * (F.col("max_votes") / F.col("n_col")),
         )
     )
+    return cand_typed
+
+
+def cea(
+    cells_with_mention: DataFrame,
+    candidates: DataFrame,
+    entity_types: DataFrame,
+    fused: bool = False,
+) -> DataFrame:
+    """→ (table_id, col, row, uri): the final cell-entity annotation
+    (phase-2 argmax with pinned (popularity, uri) tie-break)."""
+    scored = _cea_scored(cells_with_mention, candidates, entity_types, fused)
     w2 = Window.partitionBy(*_CELL_KEY).orderBy(
         F.desc("final_score"), F.desc("popularity"), F.asc("uri")
     )
     return (
-        cand_typed.withColumn("rn", F.row_number().over(w2))
+        scored.withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") == 1)
         .select(*_CELL_KEY, "uri")
+    )
+
+
+def cea_multi(
+    cells_with_mention: DataFrame,
+    candidates: DataFrame,
+    entity_types: DataFrame,
+    fused: bool = False,
+) -> DataFrame:
+    """→ (table_id, col, row, uris): multi-entity CEA — every candidate
+    whose phase-2 final score ties the cell's best within CEA_TIE_EPS,
+    sorted and space-joined (the reference's multi-URI CEA cells,
+    test/challenge_utils.py:336-346,682-707). The arithmetic is the
+    same single-IEEE-op order as the Python oracle, so the tie set is
+    reproduced exactly."""
+    from ..constants import CEA_TIE_EPS
+
+    scored = _cea_scored(cells_with_mention, candidates, entity_types, fused)
+    wmax = Window.partitionBy(*_CELL_KEY)
+    return (
+        scored.withColumn("best", F.max("final_score").over(wmax))
+        .where(F.col("final_score") >= F.col("best") - F.lit(CEA_TIE_EPS))
+        .groupBy(*_CELL_KEY)
+        .agg(
+            F.concat_ws(" ", F.array_sort(F.collect_set("uri"))).alias("uris")
+        )
     )
 
 

@@ -77,11 +77,12 @@ def write_cea_csv(cea: DataFrame, path: str) -> None:
     """(table_id, col, row, uri|entities) → SemTab CEA CSV
     (challenge_utils.py:460-475 format)."""
     cols = cea.columns
-    ent = (
-        F.concat_ws(" ", F.col("entities"))
-        if "entities" in cols
-        else F.col("uri")
-    )
+    if "entities" in cols:  # array<string>
+        ent = F.concat_ws(" ", F.col("entities"))
+    elif "uris" in cols:  # already space-joined (operators.cea_multi)
+        ent = F.col("uris")
+    else:
+        ent = F.col("uri")
     (
         cea.select(
             "table_id",

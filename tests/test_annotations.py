@@ -25,6 +25,30 @@ def test_cea_roundtrip(spark, pipeline, tmp_path):
     assert got == want
 
 
+def test_cea_multi_roundtrip(spark, pipeline, dfs, tmp_path):
+    """Multi-entity CEA: tied candidates become space-joined multi-URI
+    CEA cells that survive the SemTab CSV round-trip (reference
+    challenge_utils.py:336-346 format)."""
+    from tabular_data_semantics_py_spark.operators.annotate import cea_multi
+
+    cm = cea_multi(
+        pipeline.stages["cells_m"], pipeline.stages["candidates"],
+        pipeline.stages["entity_types"],
+    )
+    rows = cm.collect()
+    assert any(" " in r.uris for r in rows), "fixture must produce a tie"
+    p = str(tmp_path / "cea_multi_csv")
+    write_cea_csv(cm, p)
+    back = read_cea_csv(spark, p)
+    got = {
+        (r.table_id, r.col, r.row, tuple(r.entities)) for r in back.collect()
+    }
+    want = {
+        (r.table_id, r.col, r.row, tuple(r.uris.split(" "))) for r in rows
+    }
+    assert got == want
+
+
 def test_cta_roundtrip(spark, pipeline, tmp_path):
     cta = pipeline.stages["cta"]
     p = str(tmp_path / "cta_csv")
