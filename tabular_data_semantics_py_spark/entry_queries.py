@@ -983,15 +983,27 @@ def kg_closure_stats(spark, sf_dir):
     )
 
 
-@q("kg_entity_sample")
+def _o_entity_sample():
+    corpus, _, _ = _fixture()
+    from .functions.xxh64 import spark_xxhash64
+
+    rows = [(e.uri, spark_xxhash64(e.uri, (42, "int"))) for e in corpus.entities]
+    return f"""
+SELECT uri FROM {_values(rows, "uri, h")}
+ORDER BY h, uri LIMIT 25
+"""
+
+
+@q("kg_entity_sample", _o_entity_sample)
 def kg_entity_sample(spark, sf_dir):
     """T3: deterministic entity sampling — ORDER BY xxhash64(uri, seed)
     replaces the reference's ORDER BY RAND() (kg/endpoints.py:416,423).
-    xxhash64 has no DuckDB equivalent → rows-only."""
+    Oracle: an independent pure-Python XXH64 (functions/xxh64.py,
+    JVM-equality unit-tested) embedded as a VALUES CTE."""
     idx = _dfs(spark)["entity_index"]
     return (
         idx.select("uri", F.xxhash64(F.col("uri"), F.lit(42)).alias("h"))
-        .orderBy("h")
+        .orderBy("h", "uri")
         .limit(25)
         .select("uri")
     )
@@ -1490,11 +1502,37 @@ def doc_minhash_lsh_shingle(spark, sf_dir):
 
 
 
-@q("doc_minhash_signatures")
+def _o_minhash_signatures():
+    # independent recomputation of the sf0.01 signatures with the
+    # pure-Python XXH64 (the driver's correctness gate is pinned to
+    # sf0.01); raises if the table is elsewhere → degrades to rows-only
+    import duckdb
+
+    from .functions.xxh64 import spark_xxhash64
+
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    ).fetchall()
+    rows = []
+    for doc_id, text in docs:
+        toks = set((text or "").split(" "))
+        sig = [
+            min(spark_xxhash64(w, (i, "int")) for w in toks)
+            for i in range(8)
+        ]
+        rows.append((doc_id, *sig))
+    cols = "id, " + ", ".join(f"mh_{i}" for i in range(8))
+    return f"SELECT * FROM {_values(rows, cols)}"
+
+
+@q("doc_minhash_signatures", _o_minhash_signatures)
 def doc_minhash_signatures(spark, sf_dir):
     """MinHash signatures, fully JVM-side (xxhash64 min-agg) — the
-    signature half of the LSH dedup path. xxhash64 has no DuckDB
-    equivalent → rows-only check."""
+    signature half of the LSH dedup path. Oracle: signatures
+    recomputed with the independent pure-Python XXH64
+    (functions/xxh64.py) over the sf0.01 table."""
     from .operators.dedup import minhash_signatures
 
     return minhash_signatures(_load(spark, sf_dir, "documents"), n_hashes=8)
@@ -1535,4 +1573,10 @@ def flagship(spark: SparkSession) -> DataFrame:
 
 
 def oracle_sql_strings() -> dict[str, str]:
-    return {name: build() for name, build in ORACLES.items()}
+    out = {}
+    for name, build in ORACLES.items():
+        try:
+            out[name] = build()
+        except Exception:  # environment-dependent oracle (e.g. a
+            pass  # pinned parquet path) — degrade to rows-only
+    return out
