@@ -83,6 +83,78 @@ def run_kg_pipeline(spark, sf: float, reps: int = 1) -> tuple[float, int]:
     return best, n
 
 
+def run_candidate_skew(spark, n_idx: int = 20_000, n_mentions: int = 50_000):
+    """Hot-token skew evidence for the candidate-generation blocking
+    (VERDICT r01 #6): a Zipf token shared by every index key would
+    explode the fuzzy blocked join ~n_idx-fold; with the
+    ``max_token_df`` cap the skewed corpus must stay within ~2x of the
+    unskewed one. Returns (sec_uniform, sec_skew).
+
+    - index: n_idx entities labeled 'club united {i}' — tokens 'club'
+      and 'united' appear in EVERY key (the hot tokens).
+    - uniform mentions: 'clb {j}' — typo'd, block only via the
+      distinct token {j}.
+    - skewed mentions: 'clb united {j}' — every mention additionally
+      carries the hot token; uncapped this is n_mentions x n_idx
+      blocked pairs.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tabular_data_semantics_py_spark.operators.candidates import (
+        generate_candidates,
+    )
+
+    idx_pdf = pd.DataFrame(
+        {
+            "uri": [f"http://x/e{i}" for i in range(n_idx)],
+            "label": [f"club united {i}" for i in range(n_idx)],
+            "aliases": [[] for _ in range(n_idx)],
+            "types": [[] for _ in range(n_idx)],
+            "redirect_to": [None] * n_idx,
+            "is_disambiguation": [False] * n_idx,
+            "popularity": list(range(n_idx)),
+        }
+    )
+    index = spark.createDataFrame(
+        idx_pdf,
+        "uri string, label string, aliases array<string>, "
+        "types array<string>, redirect_to string, "
+        "is_disambiguation boolean, popularity int",
+    ).localCheckpoint()
+
+    def cells(skew: bool):
+        base = spark.range(n_mentions)
+        m = (
+            F.concat(F.lit("clb united "), (F.col("id") % n_idx).cast("string"))
+            if skew
+            else F.concat(F.lit("clb "), (F.col("id") % n_idx).cast("string"))
+        )
+        return base.select(
+            F.lit("t").alias("table_id"),
+            F.lit(0).alias("col"),
+            F.col("id").cast("int").alias("row"),
+            m.alias("cell"),
+        ).localCheckpoint()
+
+    # warm both plan shapes (codegen + python workers) before timing
+    for skew in (False, True):
+        _, cand = generate_candidates(
+            cells(skew).limit(500), index, max_token_df=64
+        )
+        cand.count()
+
+    out = []
+    for skew in (False, True):
+        c = cells(skew)
+        _gc(spark)
+        t0 = time.time()
+        _, cand = generate_candidates(c, index, max_token_df=64)
+        cand.count()
+        out.append(time.time() - t0)
+    return out[0], out[1]
+
+
 BENCH_QUERIES = [
     "pricing_summary",
     "order_revenue_topk",
@@ -131,6 +203,10 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
         fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t, 3)
 
+    sec_u, sec_s = run_candidate_skew(spark)
+    timings["candidates_uniform"] = round(sec_u, 3)
+    timings["candidates_skew"] = round(sec_s, 3)
+
     total = round(time.time() - t0, 3)
     out = {
         "metric": "bench_wall_sec",
@@ -141,6 +217,7 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
         "triples_emitted": n_triples,
         "kg_triples_per_sec": round(n_triples / kg_sec, 1),
         "master": master,
+        "skew_ratio": round(sec_s / sec_u, 3),
     }
     spark.stop()
     return out
