@@ -17,6 +17,13 @@ ONTOLOGY_NS = "http://tds.example.org/ontology/"
 PROPERTY_NS = "http://tds.example.org/property/"
 TABLE_BASE = "http://tds.example.org/table/"
 
+# second KG (wikidata-role) namespaces for the D4 cross-KG hop
+# (matching/kg_matching.py:394-440: dbpedia → sameAs → wikidata types
+# → equivalent dbpedia classes)
+WD_RESOURCE_NS = "http://tds.example.org/wd/resource/"
+WD_ONTOLOGY_NS = "http://tds.example.org/wd/ontology/"
+WD_DISAMBIGUATION_CLASS = WD_ONTOLOGY_NS + "Q4167410"
+
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
 RDFS_SUBCLASSOF = "http://www.w3.org/2000/01/rdf-schema#subClassOf"

@@ -280,6 +280,59 @@ def kg_entity_types(spark, sf_dir):
     )
 
 
+def _o_wikidata_types():
+    corpus, ex, _ = _fixture()
+    sa = corpus.cross_sameas
+    wt = [
+        (s, o)
+        for (s, p, o, lit) in corpus.triples
+        if p == C.RDF_TYPE and o.startswith(C.WD_ONTOLOGY_NS)
+    ]
+    clo = sorted(
+        (c, a)
+        for c, ancs in ex.closure.items()
+        for a in ancs
+        if a.startswith(C.ONTOLOGY_NS)
+    )
+    avoid = ", ".join(_s(x) for x in sorted(C.AVOID_TOP_CONCEPTS))
+    return f"""
+WITH sa(uri, wd) AS (SELECT * FROM {_values(sa, "uri, wd")}),
+wt(wd, wcls) AS (SELECT * FROM {_values(wt, "wd, wcls")}),
+eq(wcls, dbo) AS (SELECT * FROM {_values(corpus.wd_equiv, "wcls, dbo")}),
+clo(c, a) AS (SELECT * FROM {_values(clo, "c, a")}),
+alive AS (SELECT * FROM wt WHERE wd NOT IN
+          (SELECT DISTINCT wd FROM wt
+           WHERE wcls = {_s(C.WD_DISAMBIGUATION_CLASS)})),
+base AS (SELECT sa.uri, eq.dbo AS t FROM sa
+         JOIN alive ON sa.wd = alive.wd
+         JOIN eq ON alive.wcls = eq.wcls),
+allx AS (SELECT uri, t FROM base
+         UNION SELECT b.uri, clo.a FROM base b JOIN clo ON b.t = clo.c),
+filt AS (SELECT DISTINCT uri, t FROM allx WHERE t NOT IN ({avoid}))
+SELECT uri, string_agg(t, ' ' ORDER BY t) AS types_str
+FROM filt GROUP BY uri
+"""
+
+
+@q("kg_wikidata_types", _o_wikidata_types)
+def kg_wikidata_types(spark, sf_dir):
+    """D4 as a GENUINE cross-KG hop over a two-namespace fixture:
+    dbpedia-role entity → sameAs → wikidata-role twin → wd types
+    (disambiguation kill) → equivalent dbo classes → superclass
+    closure → dbo filter (matching/kg_matching.py:394-440;
+    operators/cross_kg.py)."""
+    from .operators.cross_kg import wikidata_strategy_types
+
+    dfs = _dfs(spark)
+    t = wikidata_strategy_types(
+        dfs["cross_sameas"], dfs["kg_triples"], dfs["wd_equiv"],
+        _pipeline(spark).stages["closure"],
+    )
+    return t.select(
+        "uri", F.concat_ws(" ", F.col("types_wd")).alias("types_str")
+    )
+
+
 def _o_most_specific():
     corpus, ex, _ = _fixture()
     et_rows = []

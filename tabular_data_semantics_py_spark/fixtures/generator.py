@@ -41,6 +41,9 @@ from ..constants import (
     PROPERTY_NS,
     RDF_TYPE,
     RESOURCE_NS,
+    WD_DISAMBIGUATION_CLASS,
+    WD_ONTOLOGY_NS,
+    WD_RESOURCE_NS,
 )
 
 
@@ -238,6 +241,10 @@ class FixtureCorpus:
     complex_restrictions: list[tuple[str, str, str]] = field(
         default_factory=list
     )
+    # cross-KG (D4): dbpedia-role → wikidata-role sameAs twins and
+    # wd-class → dbo-class equivalences
+    cross_sameas: list[tuple[str, str]] = field(default_factory=list)
+    wd_equiv: list[tuple[str, str]] = field(default_factory=list)
 
     def entity_by_uri(self) -> dict[str, Entity]:
         return {e.uri: e for e in self.entities}
@@ -601,6 +608,32 @@ def make_corpus(
             f"# readme {i}\nnot,a,real.csv\n",
         ))
 
+    # cross-KG twins (D4, matching/kg_matching.py:394-440): every 4th
+    # base entity gets a wikidata-role twin reachable via sameAs, typed
+    # in the wd class namespace; wd classes map to dbo classes via
+    # equivalence rows. One in five twins is a disambiguation page
+    # (type set must be killed, kg_matching.py:417-420).
+    wd_class_of = {
+        _cls(c): WD_ONTOLOGY_NS + f"Q{1000 + i}"
+        for i, c in enumerate(classes)
+    }
+    wd_equiv = sorted((q, c) for c, q in wd_class_of.items())
+    cross_sameas: list[tuple[str, str]] = []
+    qn = 1
+    for i, e in enumerate(base_entities):
+        if i % 4 == 1 and not e.is_disambiguation and e.types:
+            wd_uri = WD_RESOURCE_NS + f"Q{qn}"
+            qn += 1
+            cross_sameas.append((e.uri, wd_uri))
+            if i % 20 == 1:
+                triples.append(
+                    (wd_uri, RDF_TYPE, WD_DISAMBIGUATION_CLASS, False)
+                )
+            else:
+                triples.append(
+                    (wd_uri, RDF_TYPE, wd_class_of[e.types[0]], False)
+                )
+
     # OWL meta-typing noise: a real ontology graph types its classes as
     # owl:Class and individuals as owl:NamedIndividual — P3 must filter
     # these meta-classes out of projected rdf:type triples
@@ -648,4 +681,6 @@ def make_corpus(
             for c, p, fs in COMPLEX_RESTRICTIONS
             for f in fs
         ],
+        cross_sameas=cross_sameas,
+        wd_equiv=wd_equiv,
     )

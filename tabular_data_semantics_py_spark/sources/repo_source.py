@@ -162,6 +162,10 @@ def corpus_to_dataframes(
             corpus.complex_restrictions,
             "cls string, pred string, filler string",
         ),
+        "cross_sameas": _dim(
+            corpus.cross_sameas, "uri string, wd_uri string"
+        ),
+        "wd_equiv": _dim(corpus.wd_equiv, "wd_cls string, dbo_cls string"),
     }
     # materialize once: python-list createDataFrame is backed by a
     # pickled RDD, so *every* job consuming it would re-run a Python
