@@ -944,6 +944,26 @@ def kg_label_index(spark, sf_dir):
     return build_index_keys(_dfs(spark)["entity_index"]).select("uri", "key_norm")
 
 
+def _o_labels_en():
+    corpus, _, _ = _fixture()
+    return f"""
+SELECT class_uri, label FROM {_values(corpus.class_labels, "class_uri, label, lang")}
+WHERE lang IS NULL OR lang = 'en'
+"""
+
+
+@q("kg_class_labels_en", _o_labels_en)
+def kg_class_labels_en(spark, sf_dir):
+    """F14: English-or-untagged label filter over language-tagged
+    ontology labels (SPARQL langMatches(lang(?l),'en') in
+    kg/endpoints.py:373-374; projection keeps language in ('en', None),
+    ontology_projection.py:648-655,1460-1462)."""
+    cl = _dfs(spark)["class_labels"]
+    return cl.where(
+        F.col("lang").isNull() | (F.col("lang") == "en")
+    ).select("class_uri", "label")
+
+
 def _o_sameas():
     corpus, _, _ = _fixture()
     rows = [

@@ -245,6 +245,11 @@ class FixtureCorpus:
     # wd-class → dbo-class equivalences
     cross_sameas: list[tuple[str, str]] = field(default_factory=list)
     wd_equiv: list[tuple[str, str]] = field(default_factory=list)
+    # language-tagged ontology labels (F14: en-or-untagged filter,
+    # kg/endpoints.py:373-374, ontology_projection.py:648-655)
+    class_labels: list[tuple[str, str, str | None]] = field(
+        default_factory=list
+    )
 
     def entity_by_uri(self) -> dict[str, Entity]:
         return {e.uri: e for e in self.entities}
@@ -683,4 +688,13 @@ def make_corpus(
         ],
         cross_sameas=cross_sameas,
         wd_equiv=wd_equiv,
+        class_labels=[
+            row
+            for i, (uri, name) in enumerate(class_rows)
+            for row in (
+                [(uri, name, "en")]
+                + ([(uri, name + " (de)", "de")] if i % 3 == 0 else [])
+                + ([(uri, name + " plain", None)] if i % 4 == 0 else [])
+            )
+        ],
     )

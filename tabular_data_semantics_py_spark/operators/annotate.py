@@ -56,13 +56,20 @@ def _cea_scored(
         .join(candidates, "mention_norm")
     )  # consumed by phase 1 and phase 2
 
-    w1 = Window.partitionBy(*_CELL_KEY).orderBy(
-        F.desc("score"), F.desc("popularity"), F.asc("uri")
-    )
+    # phase-1 argmax as a hash aggregate (min_by over a struct whose
+    # lexicographic order encodes (score desc, popularity desc, uri
+    # asc)) — map-side partial agg instead of a sort-based window
     prelim = _mat(
-        linked.withColumn("rn", F.row_number().over(w1))
-        .where(F.col("rn") == 1)
-        .select(*_CELL_KEY, "uri")
+        linked.groupBy(*_CELL_KEY).agg(
+            F.min_by(
+                "uri",
+                F.struct(
+                    (-F.col("score")).alias("ns"),
+                    (-F.col("popularity")).alias("np"),
+                    F.col("uri"),
+                ),
+            ).alias("uri")
+        )
     )  # consumed by votes and col_n
 
     votes = (
@@ -103,13 +110,15 @@ def cea(
     """→ (table_id, col, row, uri): the final cell-entity annotation
     (phase-2 argmax with pinned (popularity, uri) tie-break)."""
     scored = _cea_scored(cells_with_mention, candidates, entity_types, fused)
-    w2 = Window.partitionBy(*_CELL_KEY).orderBy(
-        F.desc("final_score"), F.desc("popularity"), F.asc("uri")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w2))
-        .where(F.col("rn") == 1)
-        .select(*_CELL_KEY, "uri")
+    return scored.groupBy(*_CELL_KEY).agg(
+        F.min_by(
+            "uri",
+            F.struct(
+                (-F.col("final_score")).alias("nf"),
+                (-F.col("popularity")).alias("np"),
+                F.col("uri"),
+            ),
+        ).alias("uri")
     )
 
 

@@ -69,17 +69,24 @@ def discover_csv_artifacts(repos: DataFrame) -> DataFrame:
 
 
 def corpus_to_dataframes(
-    spark: SparkSession, corpus: FixtureCorpus
+    spark: SparkSession, corpus: FixtureCorpus, via_parquet: bool = True
 ) -> dict[str, DataFrame]:
     """Materialize the fixture corpus as DataFrames (the test/bench
-    stand-in for reading the Iceberg catalog)."""
-    # two deliberate choices here:
-    # 1. go through pandas so createDataFrame takes the Arrow path —
-    #    list-of-tuples input is backed by a pickled Python RDD whose
-    #    every downstream job pays a Python-worker round trip
-    # 2. right-size the tiny dimension tables to one partition; at
-    #    real scale a parquet scan's maxPartitionBytes does the same
+    stand-in for reading the Iceberg catalog).
+
+    ``via_parquet`` (default): each table is written ONCE driver-side
+    with pyarrow (no Spark job) into a corpus-keyed temp dir and read
+    back as a native parquet scan — pure JVM source, no Python-RDD
+    backing, no localCheckpoint barrier per dim. (createDataFrame —
+    even on the Arrow path — is backed by a Python RDD, so every
+    consumer job pays a Python-worker round trip unless each dim is
+    eagerly checkpointed: ~17 serial driver-side jobs per corpus.)
+    The dir is content-keyed, so repeated runs over the same corpus
+    reuse it."""
     import pandas as pd
+
+    if via_parquet:
+        return _corpus_via_parquet(spark, corpus)
 
     def _pdf(rows, columns):
         return pd.DataFrame(rows, columns=columns)
@@ -166,8 +173,132 @@ def corpus_to_dataframes(
             corpus.cross_sameas, "uri string, wd_uri string"
         ),
         "wd_equiv": _dim(corpus.wd_equiv, "wd_cls string, dbo_cls string"),
+        "class_labels": _dim(
+            corpus.class_labels, "class_uri string, label string, lang string"
+        ),
     }
     # materialize once: python-list createDataFrame is backed by a
     # pickled RDD, so *every* job consuming it would re-run a Python
     # deserialization stage; localCheckpoint converts to JVM blocks
     return {k: v.localCheckpoint() for k, v in out.items()}
+
+
+def _corpus_tables(corpus: FixtureCorpus):
+    """name → (rows, pyarrow schema) for every corpus table."""
+    import pyarrow as pa
+
+    s = pa.string()
+    ls = pa.list_(pa.string())
+    return {
+        "source_repos": (
+            corpus.repos,
+            pa.schema([("repo", s), ("path", s), ("commit", s),
+                       ("lang", s), ("content", s)]),
+        ),
+        "entity_index": (
+            [
+                (e.uri, e.label, e.aliases, e.types, e.redirect_to,
+                 e.is_disambiguation, e.popularity)
+                for e in corpus.entities
+            ],
+            pa.schema([("uri", s), ("label", s), ("aliases", ls),
+                       ("types", ls), ("redirect_to", s),
+                       ("is_disambiguation", pa.bool_()),
+                       ("popularity", pa.int32())]),
+        ),
+        "kg_triples": (
+            corpus.triples,
+            pa.schema([("subj", s), ("pred", s), ("obj", s),
+                       ("obj_is_literal", pa.bool_())]),
+        ),
+        "property_meta": (
+            corpus.property_meta,
+            pa.schema([("pred", s), ("domain_uri", s), ("range_uri", s)]),
+        ),
+        "ontology_edges": (
+            corpus.edges, pa.schema([("class_uri", s), ("parent_uri", s)]),
+        ),
+        "ontology_equivalent": (
+            corpus.equivalent, pa.schema([("a", s), ("b", s)]),
+        ),
+        "ontology_classes": (
+            corpus.classes, pa.schema([("class_uri", s), ("label", s)]),
+        ),
+        "extra_domains": (
+            corpus.extra_domains, pa.schema([("pred", s), ("domain_uri", s)]),
+        ),
+        "complex_domains": (
+            corpus.complex_domains,
+            pa.schema([("pred", s), ("domain_uri", s)]),
+        ),
+        "complex_ranges": (
+            corpus.complex_ranges, pa.schema([("pred", s), ("range_uri", s)]),
+        ),
+        "restrictions": (
+            corpus.restrictions,
+            pa.schema([("cls", s), ("kind", s), ("pred", s), ("filler", s)]),
+        ),
+        "inverse_props": (
+            corpus.inverse_props, pa.schema([("p", s), ("q", s)]),
+        ),
+        "equivalent_props": (
+            corpus.equivalent_props, pa.schema([("p", s), ("q", s)]),
+        ),
+        "data_property_meta": (
+            corpus.data_property_meta,
+            pa.schema([("pred", s), ("domain_uri", s)]),
+        ),
+        "data_restrictions": (
+            corpus.data_restrictions, pa.schema([("cls", s), ("pred", s)]),
+        ),
+        "conjunct_atoms": (
+            corpus.conjunct_atoms, pa.schema([("cls", s), ("sup", s)]),
+        ),
+        "complex_restrictions": (
+            corpus.complex_restrictions,
+            pa.schema([("cls", s), ("pred", s), ("filler", s)]),
+        ),
+        "cross_sameas": (
+            corpus.cross_sameas, pa.schema([("uri", s), ("wd_uri", s)]),
+        ),
+        "wd_equiv": (
+            corpus.wd_equiv, pa.schema([("wd_cls", s), ("dbo_cls", s)]),
+        ),
+        "class_labels": (
+            corpus.class_labels,
+            pa.schema([("class_uri", s), ("label", s), ("lang", s)]),
+        ),
+    }
+
+
+def _corpus_via_parquet(
+    spark: SparkSession, corpus: FixtureCorpus
+) -> dict[str, DataFrame]:
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tables = _corpus_tables(corpus)
+    key = hashlib.sha256(
+        f"{corpus.seed}:{len(corpus.tables)}:{len(corpus.entities)}:"
+        f"{len(corpus.triples)}:v2".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"tds_corpus_{key}")
+    out: dict[str, DataFrame] = {}
+    for name, (rows, schema) in tables.items():
+        path = os.path.join(root, f"{name}.parquet")
+        if not os.path.exists(path):
+            os.makedirs(root, exist_ok=True)
+            cols = list(zip(*rows)) if rows else [[] for _ in schema.names]
+            arrays = [
+                pa.array(list(col), type=schema.field(i).type)
+                for i, col in enumerate(cols)
+            ]
+            tmp = path + ".tmp"
+            pq.write_table(pa.Table.from_arrays(arrays, schema=schema), tmp)
+            os.replace(tmp, path)
+        out[name] = spark.read.parquet(path)
+    return out
