@@ -137,13 +137,14 @@ def run_pipeline(
     the driver-contract registry).
     """
     ck = _Checkpointer(spark, checkpoint_dir, resume, materialize)
-    # stage-level fusion only: measured at sf0.1, removing the
-    # operators' *internal* eager barriers as well (fused=True through
-    # cea/candidates/emit) is 2-3× SLOWER — the un-materialized fuzzy
-    # scoring subtree gets re-executed per consumer and ReuseExchange
-    # does not collapse the near-identical exchanges. The flags stay
-    # plumbed for plan experiments.
-    fused = False
+    # measured at sf0.1: the candidates operator's internal barriers
+    # (index_keys/exact) can be fused away in one-action mode (~8%
+    # faster), but cea/emit internal barriers must STAY — without
+    # them the un-materialized fuzzy-scoring subtree is re-executed
+    # per consumer (2-3× slower) and ReuseExchange does not collapse
+    # the near-identical exchanges.
+    cand_fused = checkpoint_dir is None and materialize != "all"
+    fused = False  # cea/emit internal barriers kept (see above)
     res = PipelineResult()
 
     def upto(name: str) -> bool:
@@ -187,13 +188,17 @@ def run_pipeline(
     cells_m_holder: dict[str, DataFrame] = {}
 
     def _cands() -> DataFrame:
-        cm, cand = generate_candidates(data, dfs["entity_index"], fused=fused)
+        cm, cand = generate_candidates(
+            data, dfs["entity_index"], fused=cand_fused
+        )
         cells_m_holder["cells_m"] = cm
         return cand
 
     res.stages["candidates"] = ck.stage("candidates", _cands)
     if "cells_m" not in cells_m_holder:
-        cm, _ = generate_candidates(data, dfs["entity_index"], fused=fused)
+        cm, _ = generate_candidates(
+            data, dfs["entity_index"], fused=cand_fused
+        )
         cells_m_holder["cells_m"] = cm
     cells_m = cells_m_holder["cells_m"]
     # derived view (not a checkpoint stage): cells + mention_norm,
