@@ -41,40 +41,45 @@ def _sf_of(sf_dir: str) -> float:
         return 0.0
 
 
-def _scaled_corpus(sf: float):
-    from tabular_data_semantics_py_spark.fixtures.generator import make_corpus
-
-    n_tables = max(24, int(20000 * sf))
-    epc = max(24, min(400, int(2000 * sf)))
-    return make_corpus(n_tables=n_tables, entities_per_class=epc)
+def _corpus_params(sf: float) -> tuple[int, int]:
+    return max(24, int(20000 * sf)), max(24, min(400, int(2000 * sf)))
 
 
-def _gc(spark) -> None:
+def _gc(spark, unpersist: bool = False) -> None:
     """Release localCheckpoint blocks of dropped DataFrames before
     timing — without this, successive in-session pipeline runs
-    accumulate executor storage and degrade 2-4×."""
+    accumulate executor storage and degrade 2-4×. ``unpersist=True``
+    force-drops EVERY persisted RDD (only safe between standalone
+    pipeline reps — never while cached stage DataFrames are live)."""
     import gc
 
     gc.collect()
     try:
+        if unpersist:
+            m = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(m.keySet().toArray()):
+                m.get(rid).unpersist(False)
         spark.sparkContext._jvm.System.gc()
     except Exception:
         pass
 
 
 def run_kg_pipeline(spark, sf: float, reps: int = 1) -> tuple[float, int]:
-    """Returns (best seconds over reps, n_triples)."""
+    """Returns (best seconds over reps, n_triples). The corpus is
+    parquet-cached on disk keyed by generation params + generator
+    version, so repeat invocations (across processes) skip Python
+    corpus generation."""
     from tabular_data_semantics_py_spark.plans.pipeline import run_pipeline
     from tabular_data_semantics_py_spark.sources.repo_source import (
-        corpus_to_dataframes,
+        load_or_build_corpus_dfs,
     )
 
-    corpus = _scaled_corpus(sf)
+    n_tables, epc = _corpus_params(sf)
     best = None
     n = 0
     for _ in range(reps):
-        _gc(spark)
-        dfs = corpus_to_dataframes(spark, corpus)
+        _gc(spark, unpersist=True)
+        dfs = load_or_build_corpus_dfs(spark, n_tables, epc)
         t0 = time.time()
         res = run_pipeline(spark, dfs)
         n = res.stages["triples"].count()
@@ -281,10 +286,18 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
             if "kg_pipeline" in jobs:
                 # warmup (python workers, codegen)
                 run_kg_pipeline(spark, 0.001)
+                # the scaling corpus is LARGER than the headline sf:
+                # at sf0.1 the whole pipeline is ~30 core-seconds, so
+                # 2 cores already saturate it and the measurement only
+                # sees the serial driver floor; the cluster-size rule
+                # is about the data-dominated regime
+                kg_sf = float(
+                    os.environ.get("SPARK_GRAFT_SCALING_KG_SF", "1.0")
+                )
                 # steady-state: the first full-scale run in a fresh
                 # session pays one-time JIT/codegen unrelated to
                 # parallelism — time the best of 2 in-session runs
-                sec, n = run_kg_pipeline(spark, sf, reps=2)
+                sec, n = run_kg_pipeline(spark, kg_sf, reps=2)
                 counts["kg_pipeline"] = n
                 cur = best["kg_pipeline"].get(p)
                 best["kg_pipeline"][p] = min(sec, cur) if cur else sec

@@ -271,6 +271,85 @@ def _corpus_tables(corpus: FixtureCorpus):
     }
 
 
+def _generator_version() -> str:
+    """Content hash of the fixture generator source — corpus parquet
+    caches auto-invalidate when generation logic changes."""
+    import hashlib
+    import os
+
+    from ..fixtures import generator as g
+
+    with open(os.path.abspath(g.__file__), "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:12]
+
+
+def corpus_parquet_dir(n_tables: int, entities_per_class: int,
+                       seed: int = 42) -> str:
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"tds_corpus_{seed}_{n_tables}_{entities_per_class}"
+        f"_{_generator_version()}",
+    )
+
+
+def load_or_build_corpus_dfs(
+    spark: SparkSession, n_tables: int, entities_per_class: int,
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """Parquet-cached corpus tables keyed by generation parameters +
+    generator-source hash: repeat runs (even across processes) skip
+    Python corpus generation entirely."""
+    import os
+
+    from ..fixtures.generator import make_corpus
+
+    root = corpus_parquet_dir(n_tables, entities_per_class, seed)
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        corpus = make_corpus(
+            n_tables=n_tables, entities_per_class=entities_per_class,
+            seed=seed,
+        )
+        _write_corpus_parquet(corpus, root)
+    return {
+        name: spark.read.parquet(os.path.join(root, f"{name}.parquet"))
+        for name in _CORPUS_TABLE_NAMES
+    }
+
+
+_CORPUS_TABLE_NAMES = [
+    "source_repos", "entity_index", "kg_triples", "property_meta",
+    "ontology_edges", "ontology_equivalent", "ontology_classes",
+    "extra_domains", "complex_domains", "complex_ranges", "restrictions",
+    "inverse_props", "equivalent_props", "data_property_meta",
+    "data_restrictions", "conjunct_atoms", "complex_restrictions",
+    "cross_sameas", "wd_equiv", "class_labels",
+]
+
+
+def _write_corpus_parquet(corpus: FixtureCorpus, root: str) -> None:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(root, exist_ok=True)
+    for name, (rows, schema) in _corpus_tables(corpus).items():
+        path = os.path.join(root, f"{name}.parquet")
+        cols = list(zip(*rows)) if rows else [[] for _ in schema.names]
+        arrays = [
+            pa.array(list(col), type=schema.field(i).type)
+            for i, col in enumerate(cols)
+        ]
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_arrays(arrays, schema=schema), tmp)
+        os.replace(tmp, path)
+    with open(os.path.join(root, "_DONE"), "w") as f:
+        f.write("ok")
+
+
 def _corpus_via_parquet(
     spark: SparkSession, corpus: FixtureCorpus
 ) -> dict[str, DataFrame]:
@@ -278,27 +357,14 @@ def _corpus_via_parquet(
     import os
     import tempfile
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    tables = _corpus_tables(corpus)
     key = hashlib.sha256(
         f"{corpus.seed}:{len(corpus.tables)}:{len(corpus.entities)}:"
-        f"{len(corpus.triples)}:v2".encode()
+        f"{len(corpus.triples)}:{_generator_version()}".encode()
     ).hexdigest()[:16]
     root = os.path.join(tempfile.gettempdir(), f"tds_corpus_{key}")
-    out: dict[str, DataFrame] = {}
-    for name, (rows, schema) in tables.items():
-        path = os.path.join(root, f"{name}.parquet")
-        if not os.path.exists(path):
-            os.makedirs(root, exist_ok=True)
-            cols = list(zip(*rows)) if rows else [[] for _ in schema.names]
-            arrays = [
-                pa.array(list(col), type=schema.field(i).type)
-                for i, col in enumerate(cols)
-            ]
-            tmp = path + ".tmp"
-            pq.write_table(pa.Table.from_arrays(arrays, schema=schema), tmp)
-            os.replace(tmp, path)
-        out[name] = spark.read.parquet(path)
-    return out
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        _write_corpus_parquet(corpus, root)
+    return {
+        name: spark.read.parquet(os.path.join(root, f"{name}.parquet"))
+        for name in _CORPUS_TABLE_NAMES
+    }
