@@ -50,6 +50,7 @@ def build_index_keys(entity_index: DataFrame) -> DataFrame:
     AQE picks broadcast when the bridge is small.
     """
     normalize = make_normalize_udf()
+    sc = entity_index.sparkSession.sparkContext
     keys = entity_index.select(
         "uri",
         "popularity",
@@ -60,6 +61,10 @@ def build_index_keys(entity_index: DataFrame) -> DataFrame:
     bridge = (
         keys.where(F.col("key_prenorm") != "")
         .select("key_prenorm")
+        # pinned-width dedup shuffle: keeps the accent-strip UDF below
+        # parallel (AQE byte-coalescing would pack the small distinct
+        # table into 1 partition; see generate_candidates)
+        .repartition(sc.defaultParallelism, "key_prenorm")
         .dropDuplicates(["key_prenorm"])
         .withColumn("key_norm", normalize(F.col("key_prenorm")))
         .localCheckpoint(True)  # UDF column consumed by the join below
@@ -103,6 +108,12 @@ def generate_candidates(
     bridge = (
         cells_pre.where(F.col("mention_prenorm") != "")
         .select("mention_prenorm")
+        # pinned-width dedup shuffle (see n_score_parts note below):
+        # keeps the accent-strip UDF parallel under AQE coalescing
+        .repartition(
+            data_cells.sparkSession.sparkContext.defaultParallelism,
+            "mention_prenorm",
+        )
         .dropDuplicates(["mention_prenorm"])  # A10 dedup-then-join-back
         .withColumn("mention_norm", normalize(F.col("mention_prenorm")))
         .localCheckpoint(True)  # small; UDF col consumed by 3 joins
@@ -146,9 +157,23 @@ def generate_candidates(
             .select("tok")
         )
         i_tok = i_tok.join(F.broadcast(hot), "tok", "left_anti")
+    # Pin the dedup shuffle's width on a prefix of the dedup keys:
+    # AQE's byte-based partition coalescing is blind to the per-row
+    # *Python* cost of the scorer below — at fixture scale it packs
+    # the whole pair table into 1-2 partitions and serializes the
+    # pandas UDF regardless of core count. An explicit repartition is
+    # never coalesced; (mention_norm, uri) ⊆ the dedup key, so the
+    # dedup AND the groupBy below both run exchange-free on it (no
+    # extra shuffle vs the unhinted plan).
+    sc = data_cells.sparkSession.sparkContext
+    n_score_parts = max(
+        sc.defaultParallelism * 2,
+        int(data_cells.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+    )
     blocked = (
         m_tok.join(i_tok, "tok")
         .select("mention_norm", "uri", "key_norm")
+        .repartition(n_score_parts, "mention_norm", "uri")
         .dropDuplicates(["mention_norm", "uri", "key_norm"])
     )
     fuzzy = (

@@ -96,7 +96,22 @@ def parse_cells(artifacts: DataFrame) -> DataFrame:
 
     Returns header rows as row == -1; use ``headers_of`` / filter
     ``row >= 0`` for data cells.
+
+    The parse is the pipeline's heaviest Python stage, and everything
+    downstream of it is narrow (broadcast joins) until the first wide
+    shuffle — so its parallelism caps the whole front half of the
+    pipeline. A pathological input layout (one small file / one fat
+    row group) would serialize it; when the scan yields fewer
+    partitions than the session's parallelism, hash-repartition the
+    (tiny, pre-explosion) artifact rows by (repo, path) first. On a
+    real 100 TB table the scan already has thousands of splits and no
+    shuffle happens.
     """
+    sc = artifacts.sparkSession.sparkContext
+    if artifacts.rdd.getNumPartitions() < sc.defaultParallelism:
+        artifacts = artifacts.repartition(
+            sc.defaultParallelism, "repo", "path"
+        )
     with_sha = artifacts.withColumn("content_sha", F.sha2(F.col("content"), 256))
     cols = ["table_id", "repo", "path", "commit", "content_sha", "content"]
     return with_sha.select(*cols).mapInPandas(_parse_partition, CELLS_SCHEMA)

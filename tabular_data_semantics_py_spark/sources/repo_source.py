@@ -344,7 +344,13 @@ def _write_corpus_parquet(corpus: FixtureCorpus, root: str) -> None:
             for i, col in enumerate(cols)
         ]
         tmp = path + ".tmp"
-        pq.write_table(pa.Table.from_arrays(arrays, schema=schema), tmp)
+        # bounded row groups: a single fat row group would pin every
+        # row of a scan split to one task (parquet rows go to the
+        # split containing the group's midpoint)
+        pq.write_table(
+            pa.Table.from_arrays(arrays, schema=schema), tmp,
+            row_group_size=4096,
+        )
         os.replace(tmp, path)
     with open(os.path.join(root, "_DONE"), "w") as f:
         f.write("ok")
