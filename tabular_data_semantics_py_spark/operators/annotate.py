@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..barriers import parquet_barrier
 from ..constants import (
     AGENT_CLASS,
     AVOID_PREDICATES,
@@ -46,15 +47,22 @@ def _cea_scored(
     whole two-phase plan runs as ONE action — identical subtrees
     (linked, prelim) collapse via ReuseExchange instead of being
     sequential job barriers.
+
+    ``linked`` is fact-scale (cells x candidates), so its barrier is a
+    parquet round trip, not an executor-storage checkpoint — see
+    barriers.py for the memory rationale.
     """
     def _mat(df: DataFrame) -> DataFrame:
         return df if fused else df.localCheckpoint(True)
 
-    linked = _mat(
+    linked = (
         cells_with_mention.where(F.col("mention_norm") != "")
         .select(*_CELL_KEY, "mention_norm")
         .join(candidates, "mention_norm")
-    )  # consumed by phase 1 and phase 2
+    )
+    if not fused:
+        linked = parquet_barrier(linked, "cea_linked")
+    # consumed by phase 1 and phase 2
 
     # phase-1 argmax as a hash aggregate (min_by over a struct whose
     # lexicographic order encodes (score desc, popularity desc, uri

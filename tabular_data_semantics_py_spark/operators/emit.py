@@ -9,9 +9,11 @@ URI-minting scheme mirrors oaei/tabular2rdf.py:120-163:
 - provenance       : tdkg-style table/column/row annotations (E4)
 - sameAs link to the CEA entity; rdf:type from the main column's CTA.
 
-Everything is select/union/dropDuplicates — pure Catalyst; the output
-write is repartitioned by a hash of subj so hot row-URI prefixes never
-pin a writer task (salting hook for the graph-table sink).
+Everything is select/union/dropDuplicates — pure Catalyst. Subject-
+hash bucketing for the writer lives in the sink (sources/sinks.py
+``write_graph``), not here — emitting pre-bucketed would cost every
+non-writing consumer (counts, joins, CPA) a redundant full shuffle of
+the output.
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..barriers import parquet_barrier
 from ..constants import (
     ANN_COLUMN,
     ANN_ROW,
@@ -76,7 +79,9 @@ def emit_triples(
         .where(F.col("max_len") > 0)
     )
     if not fused:
-        rows_present = rows_present.localCheckpoint(True)  # 7 consumers
+        # 7 consumers; fact-scale (one row per table row) → parquet
+        # barrier, not executor storage (barriers.py)
+        rows_present = parquet_barrier(rows_present, "emit_rows_present")
     row_uri = F.concat(
         base, F.col("table_id"), F.lit("-col-0-row-"),
         F.col("row").cast("string"),
@@ -138,9 +143,8 @@ def emit_triples(
         F.col("cls").alias("obj"), F.lit(False).alias("obj_is_literal"),
     )
 
-    out = (
+    return (
         prop_triples.union(row_triples).union(role_triples)
         .union(sameas).union(cta_types)
         .dropDuplicates(["subj", "pred", "obj", "obj_is_literal"])
     )
-    return out.repartition(F.col("subj"))

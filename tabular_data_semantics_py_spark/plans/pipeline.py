@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..barriers import parquet_barrier
 from ..constants import AGENT_CLASS
 from ..operators.annotate import cea as cea_op
 from ..operators.annotate import cpa as cpa_op
@@ -63,6 +64,8 @@ class PipelineResult:
 # stage-barrier tax (8 sequential full materializations → 3).
 # cells: the mapInPandas CSV parse, consumed by candidates + emission.
 _FUSED_BARRIERS = {"cells", "entity_types", "cea"}
+# barriers whose output is fact-scale (∝ corpus): parquet-backed
+_BIG_STAGES = {"cells", "cea"}
 
 
 class _Checkpointer:
@@ -76,11 +79,20 @@ class _Checkpointer:
 
     def stage(self, name: str, compute) -> DataFrame:
         if self.root is None:
-            if self.materialize == "all" or name in _FUSED_BARRIERS:
-                # localCheckpoint truncates the logical plan at the
-                # stage boundary — without it Catalyst re-analyzes the
-                # self-referencing upstream tree per action and re-runs
-                # the stage's pandas UDFs once per consumer
+            if self.materialize == "all":
+                # registry mode (small sf, stages queried repeatedly):
+                # executor-storage checkpoints are fine at that scale
+                return compute().localCheckpoint()
+            if name in _FUSED_BARRIERS:
+                # plan truncation at the stage boundary — without it
+                # Catalyst re-analyzes the upstream tree per action and
+                # re-runs the stage's pandas UDFs once per consumer.
+                # Fact-scale outputs go through a parquet barrier, NOT
+                # localCheckpoint (see barriers.py: a full-corpus
+                # executor-storage checkpoint starves every later
+                # shuffle of execution memory)
+                if name in _BIG_STAGES:
+                    return parquet_barrier(compute(), name)
                 return compute().localCheckpoint()
             return compute()
         path = os.path.join(self.root, name)
