@@ -49,16 +49,20 @@ def _gc(spark, unpersist: bool = False) -> None:
     """Release localCheckpoint blocks of dropped DataFrames before
     timing — without this, successive in-session pipeline runs
     accumulate executor storage and degrade 2-4×. ``unpersist=True``
-    force-drops EVERY persisted RDD (only safe between standalone
-    pipeline reps — never while cached stage DataFrames are live)."""
+    force-drops EVERY persisted RDD and deletes stage-barrier scratch
+    parquet (only safe between standalone pipeline reps — never while
+    cached stage DataFrames are live)."""
     import gc
 
     gc.collect()
     try:
         if unpersist:
+            from tabular_data_semantics_py_spark.barriers import clear_scratch
+
             m = spark.sparkContext._jsc.getPersistentRDDs()
             for rid in list(m.keySet().toArray()):
                 m.get(rid).unpersist(False)
+            clear_scratch(spark)
         spark.sparkContext._jvm.System.gc()
     except Exception:
         pass
@@ -232,8 +236,14 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
 def _scaling_session(p: int):
     from tabular_data_semantics_py_spark.session import get_spark
 
+    # same sizing rule at both parallelism levels: shuffle width 4×
+    # cores (AQE coalesces down when small; 1-task-per-core shuffles
+    # have no slack for stragglers), heap sized for the sf≥2 scaling
+    # corpus (8 g thrashes at local[8] — ROUND_NOTES r2)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     spark = get_spark(
-        app_name=f"tds-scaling-{p}", master=f"local[{p}]", shuffle_partitions=p
+        app_name=f"tds-scaling-{p}", master=f"local[{p}]",
+        shuffle_partitions=4 * p,
     )
     spark.sparkContext.setLogLevel("ERROR")
     return spark
@@ -292,7 +302,7 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
                 # sees the serial driver floor; the cluster-size rule
                 # is about the data-dominated regime
                 kg_sf = float(
-                    os.environ.get("SPARK_GRAFT_SCALING_KG_SF", "1.0")
+                    os.environ.get("SPARK_GRAFT_SCALING_KG_SF", "2.5")
                 )
                 # steady-state: the first full-scale run in a fresh
                 # session pays one-time JIT/codegen unrelated to

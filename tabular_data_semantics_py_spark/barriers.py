@@ -19,14 +19,23 @@ Two kinds of barrier, chosen by expected size:
 
 from __future__ import annotations
 
+import itertools
 import os
+import shutil
 import tempfile
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+# per-process generation counter: every barrier write gets a fresh
+# directory, so DataFrames returned by *earlier* pipeline runs in the
+# same session stay valid (a shared overwrite path breaks any
+# still-referenced lazy plan over the previous files — observed as
+# FileNotFoundException in a session that runs the pipeline twice).
+_SEQ = itertools.count()
 
 
-def _scratch_dir(df: DataFrame) -> str:
-    app_id = df.sparkSession.sparkContext.applicationId
+def _scratch_dir(spark: SparkSession) -> str:
+    app_id = spark.sparkContext.applicationId
     return os.path.join(tempfile.gettempdir(), f"tds_stage_{app_id}")
 
 
@@ -34,11 +43,29 @@ def parquet_barrier(df: DataFrame, name: str) -> DataFrame:
     """Materialize ``df`` to scratch parquet and return a fresh native
     scan of it (plan truncated, storage pool untouched).
 
-    Keyed by (applicationId, name) and written with mode=overwrite: one
-    pipeline run at a time per session (the repo's usage), bounded
-    disk. DataFrames returned by a *previous* run become invalid once
-    the same stage is overwritten — drop them first (bench does).
+    Each call writes a new generation dir (bounded only by
+    ``clear_scratch``): disk is reclaimed by ``clear_scratch`` between
+    standalone pipeline reps (bench does) or at session end; at real
+    scale the checkpoint_dir mode owns stage storage instead.
+
+    The write is repartitioned to ``defaultParallelism`` files: AQE
+    byte-coalescing otherwise packs a small-in-bytes barrier into ONE
+    file, and since each Spark-written file is a single row group, a
+    one-file barrier is unsplittable — every downstream stage over it
+    collapses to one task no matter the core count (measured: the
+    cea_linked scan ran 1.2M rows single-task, 4-6 s serial per
+    consumer). One extra small shuffle at write time buys parallel
+    scans for every consumer.
     """
-    path = os.path.join(_scratch_dir(df), name)
-    df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    path = os.path.join(_scratch_dir(spark), f"{name}-g{next(_SEQ)}")
+    df.repartition(n).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def clear_scratch(spark: SparkSession) -> None:
+    """Delete every stage-barrier generation of this session. Only safe
+    when no DataFrame from a previous ``run_pipeline`` call is still
+    live (bench drops them before calling)."""
+    shutil.rmtree(_scratch_dir(spark), ignore_errors=True)

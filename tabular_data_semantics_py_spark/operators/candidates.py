@@ -51,6 +51,11 @@ def build_index_keys(entity_index: DataFrame) -> DataFrame:
     """
     normalize = make_normalize_udf()
     sc = entity_index.sparkSession.sparkContext
+    # a dimension-sized index arrives as one row group → one scan task,
+    # serializing the explode and everything fused behind it; widen it
+    # (no-op at real index scale, where the scan has many splits)
+    if entity_index.rdd.getNumPartitions() < sc.defaultParallelism:
+        entity_index = entity_index.repartition(sc.defaultParallelism, "uri")
     keys = entity_index.select(
         "uri",
         "popularity",

@@ -178,6 +178,13 @@ def build_entity_types(
             .otherwise(F.col("pred_types")),
         )
         .select("uri", "base_types")
+        # pinned-width repartition before the checkpoint: AQE coalesces
+        # the tiny join output to 1 partition, which would serialize
+        # the explode→closure-join→collect_set chain fused on top of it
+        .repartition(
+            entity_index.sparkSession.sparkContext.defaultParallelism,
+            "uri",
+        )
         .localCheckpoint(True)  # consumed twice below
     )
 
