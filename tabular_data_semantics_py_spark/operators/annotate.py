@@ -80,30 +80,50 @@ def _cea_scored(
         )
     )  # consumed by votes and col_n
 
+    # type votes and the per-candidate best vote depend only on
+    # (table_id, col, uri) — dedup-then-join-back (A10) before the
+    # types explode. At fixture scale this shrinks the exploded
+    # volume ~2×; at real scale by the rows-per-column factor
+    # (columns have 10³-10⁶ cells but few distinct entities).
+    prelim_cu = prelim.groupBy("table_id", "col", "uri").agg(
+        F.count(F.lit(1)).alias("n")
+    )
     votes = (
-        prelim.join(entity_types, "uri")
-        .select("table_id", "col", F.explode("types").alias("t"))
+        prelim_cu.join(entity_types, "uri")
+        .select("table_id", "col", "n", F.explode("types").alias("t"))
         .groupBy("table_id", "col", "t")
-        .agg(F.count(F.lit(1)).alias("votes"))
+        .agg(F.sum("n").alias("votes"))
     )
     col_n = prelim.groupBy("table_id", "col").agg(
         F.count(F.lit(1)).alias("n_col")
     )
 
-    cand_typed = (
-        linked.join(entity_types, "uri", "left")
+    col_uri = linked.select("table_id", "col", "uri").dropDuplicates(
+        ["table_id", "col", "uri"]
+    )
+    cu_votes = (
+        col_uri.join(entity_types, "uri", "left")
         .select(
-            *_CELL_KEY, "uri", "score", "popularity",
-            F.explode_outer("types").alias("t"),
+            "table_id", "col", "uri", F.explode_outer("types").alias("t")
         )
         .join(votes, ["table_id", "col", "t"], "left")
-        .groupBy(*_CELL_KEY, "uri", "score", "popularity")
+        .groupBy("table_id", "col", "uri")
         .agg(F.max(F.coalesce(F.col("votes"), F.lit(0))).alias("max_votes"))
+    )
+    # linked is unique per (cell, uri) — candidates are deduped by
+    # (mention, uri) upstream — so the join-back reproduces exactly the
+    # per-(cell, candidate) rows of the direct explode formulation
+    cand_typed = (
+        linked.join(cu_votes, ["table_id", "col", "uri"])
         .join(col_n, ["table_id", "col"])
         .withColumn(
             "final_score",
             F.col("score")
             + F.lit(TYPE_BONUS) * (F.col("max_votes") / F.col("n_col")),
+        )
+        .select(
+            *_CELL_KEY, "uri", "score", "popularity", "max_votes",
+            "n_col", "final_score",
         )
     )
     return cand_typed

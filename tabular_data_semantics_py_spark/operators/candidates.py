@@ -104,6 +104,16 @@ def generate_candidates(
     score_udf = make_lexical_score_udf()
     normalize = make_normalize_udf()
 
+    # widen a dimension-sized index scan (one row group → one task)
+    # before the paths that probe it (ent_pop join, redirect edges):
+    # with a broadcast-able candidates side, AQE otherwise probes the
+    # unsplittable index scan single-threaded. No-op at real scale.
+    _sc = data_cells.sparkSession.sparkContext
+    if entity_index.rdd.getNumPartitions() < _sc.defaultParallelism:
+        entity_index = entity_index.repartition(
+            _sc.defaultParallelism, "uri"
+        )
+
     # JVM prenorm over the full cell table — pure whole-stage codegen,
     # no Python, no materialization (kills the round-1 full-corpus
     # localCheckpoint). Accent-strip runs only on distinct prenorms.
@@ -219,8 +229,12 @@ def generate_candidates(
         )
 
     # keep only URIs present in the index; attach final popularity;
-    # dedup by final URI keeping max score
-    ent_pop = entity_index.select("uri", "popularity")
+    # dedup by final URI keeping max score. shuffle_hash hint, index as
+    # build side: the index is never broadcast-able at real scale
+    # (10^8 entities), and without the hint Catalyst's fallback stats
+    # broadcast the *candidates* side and probe the dimension-sized
+    # index scan single-threaded (one row group → one task)
+    ent_pop = entity_index.select("uri", "popularity").hint("shuffle_hash")
     cands = (
         cands.join(ent_pop, "uri")
         .groupBy("mention_norm", "uri")

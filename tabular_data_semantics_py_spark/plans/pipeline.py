@@ -78,6 +78,15 @@ class _Checkpointer:
         self.metrics: list[dict] = []
 
     def stage(self, name: str, compute) -> DataFrame:
+        # label every job this stage triggers (AQE/broadcast subjobs
+        # inherit the description through their captured thread-locals)
+        self.spark.sparkContext.setJobDescription(f"tds:{name}")
+        try:
+            return self._stage(name, compute)
+        finally:
+            self.spark.sparkContext.setJobDescription(None)
+
+    def _stage(self, name: str, compute) -> DataFrame:
         if self.root is None:
             if self.materialize == "all":
                 # registry mode (small sf, stages queried repeatedly):
@@ -213,8 +222,18 @@ def run_pipeline(
         )
         cells_m_holder["cells_m"] = cm
     cells_m = cells_m_holder["cells_m"]
-    # derived view (not a checkpoint stage): cells + mention_norm,
-    # consumed by CEA here and by the fragment-extraction query
+    # derived view (not a resumable checkpoint stage): cells +
+    # mention_norm, consumed by CEA here and by the fragment query.
+    # Materialize it in no-checkpoint modes: its subtree re-scans the
+    # full cell table through the prenorm expressions and the bridge
+    # join, which would otherwise execute once per consumer (measured
+    # ~25-30 s CPU duplicated at the sf2.5 scaling corpus).
+    if checkpoint_dir is None:
+        cells_m = (
+            cells_m.localCheckpoint(True)
+            if materialize == "all"
+            else parquet_barrier(cells_m, "cells_m")
+        )
     res.stages["cells_m"] = cells_m
 
     closure_map = closure_to_map(res.stages["closure"])
