@@ -39,7 +39,9 @@ def _scratch_dir(spark: SparkSession) -> str:
     return os.path.join(tempfile.gettempdir(), f"tds_stage_{app_id}")
 
 
-def parquet_barrier(df: DataFrame, name: str) -> DataFrame:
+def parquet_barrier(
+    df: DataFrame, name: str, by: list[str] | None = None
+) -> DataFrame:
     """Materialize ``df`` to scratch parquet and return a fresh native
     scan of it (plan truncated, storage pool untouched).
 
@@ -56,11 +58,18 @@ def parquet_barrier(df: DataFrame, name: str) -> DataFrame:
     cea_linked scan ran 1.2M rows single-task, 4-6 s serial per
     consumer). One extra small shuffle at write time buys parallel
     scans for every consumer.
+
+    ``by``: hash-partition the write on these columns instead of round
+    robin — same file count, but skips the per-task sort Spark inserts
+    before round-robin redistribution (sortBeforeRepartition, needed
+    there for retry determinism; hash partitioning is deterministic by
+    construction). Pass the stage's natural key.
     """
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
     path = os.path.join(_scratch_dir(spark), f"{name}-g{next(_SEQ)}")
-    df.repartition(n).write.parquet(path)
+    part = df.repartition(n, *by) if by else df.repartition(n)
+    part.write.parquet(path)
     return spark.read.parquet(path)
 
 

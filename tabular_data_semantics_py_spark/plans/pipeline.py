@@ -101,7 +101,9 @@ class _Checkpointer:
                 # executor-storage checkpoint starves every later
                 # shuffle of execution memory)
                 if name in _BIG_STAGES:
-                    return parquet_barrier(compute(), name)
+                    return parquet_barrier(
+                        compute(), name, by=["table_id"]
+                    )
                 return compute().localCheckpoint()
             return compute()
         path = os.path.join(self.root, name)
@@ -232,7 +234,7 @@ def run_pipeline(
         cells_m = (
             cells_m.localCheckpoint(True)
             if materialize == "all"
-            else parquet_barrier(cells_m, "cells_m")
+            else parquet_barrier(cells_m, "cells_m", by=["table_id"])
         )
     res.stages["cells_m"] = cells_m
 
