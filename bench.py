@@ -236,14 +236,17 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
 def _scaling_session(p: int):
     from tabular_data_semantics_py_spark.session import get_spark
 
-    # same sizing rule at both parallelism levels: shuffle width 4×
-    # cores (AQE coalesces down when small; 1-task-per-core shuffles
-    # have no slack for stragglers), heap sized for the sf≥2 scaling
-    # corpus (8 g thrashes at local[8] — ROUND_NOTES r2)
+    # FIXED shuffle width across both cluster sizes: for a fixed
+    # dataset a real N vs 4N executor comparison keeps the same
+    # partition count (partitioning follows the data, not the
+    # cluster), so the small cluster runs more waves of the same
+    # tasks. Width = 4× the large side's cores (slack for
+    # stragglers); heap sized for the sf≥2 scaling corpus.
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+    width = 4 * int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", "8"))
     spark = get_spark(
         app_name=f"tds-scaling-{p}", master=f"local[{p}]",
-        shuffle_partitions=4 * p,
+        shuffle_partitions=width,
     )
     spark.sparkContext.setLogLevel("ERROR")
     return spark

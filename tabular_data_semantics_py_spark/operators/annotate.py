@@ -88,8 +88,16 @@ def _cea_scored(
     prelim_cu = prelim.groupBy("table_id", "col", "uri").agg(
         F.count(F.lit(1)).alias("n")
     )
+    # shuffle_hash on every entity_types join: (a) scale-correct — the
+    # entity-type table is index-sized (10^8 rows) in production and
+    # must never be the broadcast side; (b) a localCheckpoint's
+    # ExistingRDD carries no stats, so Catalyst otherwise treats it as
+    # enormous, broadcasts the *fact* side (measured: a 1.07M-row
+    # broadcast), and streams the checkpoint's single partition —
+    # serializing the entire explode chain into one task
+    et = entity_types.hint("shuffle_hash")
     votes = (
-        prelim_cu.join(entity_types, "uri")
+        prelim_cu.join(et, "uri")
         .select("table_id", "col", "n", F.explode("types").alias("t"))
         .groupBy("table_id", "col", "t")
         .agg(F.sum("n").alias("votes"))
@@ -102,7 +110,7 @@ def _cea_scored(
         ["table_id", "col", "uri"]
     )
     cu_votes = (
-        col_uri.join(entity_types, "uri", "left")
+        col_uri.join(et, "uri", "left")
         .select(
             "table_id", "col", "uri", F.explode_outer("types").alias("t")
         )
@@ -187,8 +195,9 @@ def cta(
     ms = entity_types.select(
         "uri", most_specific_udf(F.col("types")).alias("ms_types")
     )
+    # shuffle_hash: entity_types-sized side, see _cea_scored note
     votes = (
-        cea_df.join(ms, "uri")
+        cea_df.join(ms.hint("shuffle_hash"), "uri")
         .select("table_id", "col", F.explode("ms_types").alias("t"))
         .groupBy("table_id", "col", "t")
         .agg(F.count(F.lit(1)).alias("votes"))
