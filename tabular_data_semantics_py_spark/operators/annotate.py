@@ -52,9 +52,6 @@ def _cea_scored(
     parquet round trip, not an executor-storage checkpoint — see
     barriers.py for the memory rationale.
     """
-    def _mat(df: DataFrame) -> DataFrame:
-        return df if fused else df.localCheckpoint(True)
-
     linked = (
         cells_with_mention.where(F.col("mention_norm") != "")
         .select(*_CELL_KEY, "mention_norm")
@@ -66,18 +63,20 @@ def _cea_scored(
 
     # phase-1 argmax as a hash aggregate (min_by over a struct whose
     # lexicographic order encodes (score desc, popularity desc, uri
-    # asc)) — map-side partial agg instead of a sort-based window
-    prelim = _mat(
-        linked.groupBy(*_CELL_KEY).agg(
-            F.min_by(
-                "uri",
-                F.struct(
-                    (-F.col("score")).alias("ns"),
-                    (-F.col("popularity")).alias("np"),
-                    F.col("uri"),
-                ),
-            ).alias("uri")
-        )
+    # asc)) — map-side partial agg instead of a sort-based window.
+    # Lazy: both consumers (votes via prelim_cu, col_n) live inside
+    # the same downstream action, and the duplicated agg shares its
+    # exchange via ReuseExchange — an eager checkpoint here only adds
+    # a sequential driver action
+    prelim = linked.groupBy(*_CELL_KEY).agg(
+        F.min_by(
+            "uri",
+            F.struct(
+                (-F.col("score")).alias("ns"),
+                (-F.col("popularity")).alias("np"),
+                F.col("uri"),
+            ),
+        ).alias("uri")
     )  # consumed by votes and col_n
 
     # type votes and the per-candidate best vote depend only on

@@ -39,7 +39,9 @@ from ..functions.normalize import (
 )
 
 
-def build_index_keys(entity_index: DataFrame) -> DataFrame:
+def build_index_keys(
+    entity_index: DataFrame, fused: bool = False
+) -> DataFrame:
     """entity_index → (uri, popularity, key_norm) — one row per
     normalized label/alias surface form (kg/lookup.py:162-209 role).
 
@@ -72,8 +74,12 @@ def build_index_keys(entity_index: DataFrame) -> DataFrame:
         .repartition(sc.defaultParallelism, "key_prenorm")
         .dropDuplicates(["key_prenorm"])
         .withColumn("key_norm", normalize(F.col("key_prenorm")))
-        .localCheckpoint(True)  # UDF column consumed by the join below
     )
+    if not fused:
+        # UDF column consumed by the join below across separate
+        # actions; in fused mode the consumers share one action and
+        # the dedup exchange collapses via ReuseExchange
+        bridge = bridge.localCheckpoint(True)
     return (
         keys.join(bridge, "key_prenorm")
         .where(F.col("key_norm") != "")
@@ -146,7 +152,7 @@ def generate_candidates(
     def _mat(df: DataFrame) -> DataFrame:
         return df if fused else df.localCheckpoint(True)
 
-    index_keys = _mat(build_index_keys(entity_index))
+    index_keys = _mat(build_index_keys(entity_index, fused=fused))
 
     exact = _mat(
         mentions.join(
