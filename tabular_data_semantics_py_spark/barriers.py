@@ -59,17 +59,20 @@ def parquet_barrier(
     consumer). One extra small shuffle at write time buys parallel
     scans for every consumer.
 
-    ``by``: hash-partition the write on these columns instead of round
-    robin — same file count, but skips the per-task sort Spark inserts
-    before round-robin redistribution (sortBeforeRepartition, needed
-    there for retry determinism; hash partitioning is deterministic by
-    construction). Pass the stage's natural key.
+    ``by`` (unused, kept for call-site documentation): the stage's
+    natural partitioning key. The write itself relies on the session's
+    AQE floor (coalescePartitions.minPartitionSize=16k, session.py): a
+    shuffle-fed stage lands at ~bytes/16k partitions — data-
+    proportional width, so a small-sf barrier is a handful of files
+    (cheap task dispatch) and a large one is executor-wide, and every
+    barrier input here is shuffle-fed or scan-wide. Probing the plan
+    width via ``df.rdd`` is NOT an option: under AQE that conversion
+    materializes the query stages, executing the upstream once for the
+    probe and again for the write.
     """
     spark = df.sparkSession
-    n = spark.sparkContext.defaultParallelism
     path = os.path.join(_scratch_dir(spark), f"{name}-g{next(_SEQ)}")
-    part = df.repartition(n, *by) if by else df.repartition(n)
-    part.write.parquet(path)
+    df.write.parquet(path)
     return spark.read.parquet(path)
 
 

@@ -87,14 +87,13 @@ def _cea_scored(
     prelim_cu = prelim.groupBy("table_id", "col", "uri").agg(
         F.count(F.lit(1)).alias("n")
     )
-    # shuffle_hash on every entity_types join: (a) scale-correct — the
-    # entity-type table is index-sized (10^8 rows) in production and
-    # must never be the broadcast side; (b) a localCheckpoint's
-    # ExistingRDD carries no stats, so Catalyst otherwise treats it as
-    # enormous, broadcasts the *fact* side (measured: a 1.07M-row
-    # broadcast), and streams the checkpoint's single partition —
-    # serializing the entire explode chain into one task
-    et = entity_types.hint("shuffle_hash")
+    # entity_types arrives as a parquet-backed barrier whose file
+    # stats drive the join strategy: broadcast while dimension-sized,
+    # shuffle join at index scale (10^8 rows). A stats-free
+    # localCheckpoint here once inverted the choice — Catalyst
+    # broadcast the 1.07M-row fact side and streamed the checkpoint's
+    # single partition, serializing the whole explode chain
+    et = entity_types
     votes = (
         prelim_cu.join(et, "uri")
         .select("table_id", "col", "n", F.explode("types").alias("t"))
@@ -194,9 +193,8 @@ def cta(
     ms = entity_types.select(
         "uri", most_specific_udf(F.col("types")).alias("ms_types")
     )
-    # shuffle_hash: entity_types-sized side, see _cea_scored note
     votes = (
-        cea_df.join(ms.hint("shuffle_hash"), "uri")
+        cea_df.join(ms, "uri")
         .select("table_id", "col", F.explode("ms_types").alias("t"))
         .groupBy("table_id", "col", "t")
         .agg(F.count(F.lit(1)).alias("votes"))

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..barriers import parquet_barrier
 from ..constants import FUZZY_MIN_SCORE, TOP_K_CANDIDATES
 from ..functions.normalize import (
     make_lexical_score_udf,
@@ -53,11 +54,6 @@ def build_index_keys(
     """
     normalize = make_normalize_udf()
     sc = entity_index.sparkSession.sparkContext
-    # a dimension-sized index arrives as one row group → one scan task,
-    # serializing the explode and everything fused behind it; widen it
-    # (no-op at real index scale, where the scan has many splits)
-    if entity_index.rdd.getNumPartitions() < sc.defaultParallelism:
-        entity_index = entity_index.repartition(sc.defaultParallelism, "uri")
     keys = entity_index.select(
         "uri",
         "popularity",
@@ -110,16 +106,6 @@ def generate_candidates(
     score_udf = make_lexical_score_udf()
     normalize = make_normalize_udf()
 
-    # widen a dimension-sized index scan (one row group → one task)
-    # before the paths that probe it (ent_pop join, redirect edges):
-    # with a broadcast-able candidates side, AQE otherwise probes the
-    # unsplittable index scan single-threaded. No-op at real scale.
-    _sc = data_cells.sparkSession.sparkContext
-    if entity_index.rdd.getNumPartitions() < _sc.defaultParallelism:
-        entity_index = entity_index.repartition(
-            _sc.defaultParallelism, "uri"
-        )
-
     # JVM prenorm over the full cell table — pure whole-stage codegen,
     # no Python, no materialization (kills the round-1 full-corpus
     # localCheckpoint). Accent-strip runs only on distinct prenorms.
@@ -137,8 +123,12 @@ def generate_candidates(
         )
         .dropDuplicates(["mention_prenorm"])  # A10 dedup-then-join-back
         .withColumn("mention_norm", normalize(F.col("mention_prenorm")))
-        .localCheckpoint(True)  # small; UDF col consumed by 3 joins
     )
+    # parquet barrier, not localCheckpoint: the UDF column is consumed
+    # by joins across separate actions, and the parquet scan's size
+    # statistics let Catalyst broadcast the bridge when (and only
+    # when) it is small
+    bridge = parquet_barrier(bridge, "mention_bridge")
     cells = (
         cells_pre.join(bridge, "mention_prenorm", "left")
         .withColumn("mention_norm", F.coalesce("mention_norm", F.lit("")))
@@ -235,12 +225,10 @@ def generate_candidates(
         )
 
     # keep only URIs present in the index; attach final popularity;
-    # dedup by final URI keeping max score. shuffle_hash hint, index as
-    # build side: the index is never broadcast-able at real scale
-    # (10^8 entities), and without the hint Catalyst's fallback stats
-    # broadcast the *candidates* side and probe the dimension-sized
-    # index scan single-threaded (one row group → one task)
-    ent_pop = entity_index.select("uri", "popularity").hint("shuffle_hash")
+    # dedup by final URI keeping max score. The index side's parquet
+    # stats drive the join strategy: broadcast while small, shuffle
+    # join at 10^8-entity scale — no hint needed
+    ent_pop = entity_index.select("uri", "popularity")
     cands = (
         cands.join(ent_pop, "uri")
         .groupBy("mention_norm", "uri")

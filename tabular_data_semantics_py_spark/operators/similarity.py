@@ -146,7 +146,12 @@ def cosine_pairs_blocked(
         import numpy as np
 
         bi, bj = key
+        empty = pd.DataFrame(
+            {"i": pd.Series(dtype="int64"), "j": pd.Series(dtype="int64")}
+        )
         lm = pdf[pdf["is_l"].to_numpy()]
+        if not len(lm):  # one-sided group (a hash block can be empty)
+            return empty
         ids_l = lm["vid"].to_numpy()
         L = np.array(list(lm["vec"]), dtype=np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -156,6 +161,8 @@ def cosine_pairs_blocked(
                 ids_r = ids_l
             else:
                 rm = pdf[~pdf["is_l"].to_numpy()]
+                if not len(rm):
+                    return empty
                 ids_r = rm["vid"].to_numpy()
                 R = np.array(list(rm["vec"]), dtype=np.float64)
                 Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
@@ -238,11 +245,16 @@ def train_ivf_centroids(
                 np.add.at(acc_n, a, 1)
                 np.add.at(acc_s, a, np.nan_to_num(Vn))
             nz = np.nonzero(acc_n)[0]
+            # explicit dtypes: an empty partition yields zero rows, and
+            # a default-constructed empty "s" column is float64 — which
+            # Arrow cannot convert to list<double>
             yield pd.DataFrame(
                 {
-                    "c": nz.astype("int64"),
-                    "n": acc_n[nz],
-                    "s": [acc_s[i].tolist() for i in nz],
+                    "c": pd.Series(nz, dtype="int64"),
+                    "n": pd.Series(acc_n[nz], dtype="int64"),
+                    "s": pd.Series(
+                        [acc_s[i].tolist() for i in nz], dtype="object"
+                    ),
                 }
             )
 

@@ -63,9 +63,15 @@ class PipelineResult:
 # flows lazily into one AQE-planned DAG — the answer to the round-1
 # stage-barrier tax (8 sequential full materializations → 3).
 # cells: the mapInPandas CSV parse, consumed by candidates + emission.
+# ALL fused barriers are parquet-backed (barriers.py): a parquet scan
+# carries real size statistics, so Catalyst broadcasts a barrier that
+# is small and shuffle-joins one that is not — the scale-appropriate
+# plan falls out of the stats instead of per-join hints. (A
+# localCheckpoint scan has NO stats and is treated as enormous, which
+# inverted broadcast choices — see operators/annotate.py history.)
 _FUSED_BARRIERS = {"cells", "entity_types", "cea"}
-# barriers whose output is fact-scale (∝ corpus): parquet-backed
-_BIG_STAGES = {"cells", "cea"}
+_BARRIER_KEYS = {"cells": ["table_id"], "entity_types": ["uri"],
+                 "cea": ["table_id"]}
 
 
 class _Checkpointer:
@@ -100,11 +106,9 @@ class _Checkpointer:
                 # localCheckpoint (see barriers.py: a full-corpus
                 # executor-storage checkpoint starves every later
                 # shuffle of execution memory)
-                if name in _BIG_STAGES:
-                    return parquet_barrier(
-                        compute(), name, by=["table_id"]
-                    )
-                return compute().localCheckpoint()
+                return parquet_barrier(
+                    compute(), name, by=_BARRIER_KEYS.get(name)
+                )
             return compute()
         path = os.path.join(self.root, name)
         done = os.path.exists(os.path.join(path, "_SUCCESS"))

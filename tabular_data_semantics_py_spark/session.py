@@ -47,6 +47,14 @@ def get_spark(
         # NOT a substitute here — a user-specified distribution on a
         # join input disables broadcasting that side.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+        # file-scan analogue of the floor above: maxSplitBytes =
+        # min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism)),
+        # and the 4m default openCost floors a snappy-parquet stage
+        # barrier (~10× compressed KG strings) at 1-2 splits — the
+        # scan's consumers then run 3M rows on 2 tasks. 64k makes
+        # splits data-proportional; genuinely big scans still cap at
+        # maxPartitionBytes (128m), so the 100 TB regime is unchanged.
+        .config("spark.sql.files.openCostInBytes", "65536")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
