@@ -233,7 +233,7 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
     return out
 
 
-def _scaling_session(p: int):
+def _scaling_session(p: int, high: int):
     from tabular_data_semantics_py_spark.session import get_spark
 
     # FIXED shuffle width across both cluster sizes: for a fixed
@@ -243,7 +243,7 @@ def _scaling_session(p: int):
     # tasks. Width = 4× the large side's cores (slack for
     # stragglers); heap sized for the sf≥2 scaling corpus.
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
-    width = 4 * int(os.environ.get("SPARK_GRAFT_SCALING_HIGH", "8"))
+    width = 4 * high
     spark = get_spark(
         app_name=f"tds-scaling-{p}", master=f"local[{p}]",
         shuffle_partitions=width,
@@ -295,7 +295,7 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
     counts: dict[str, int] = {}
     for _rep in range(reps):
         for p in (low, high):
-            spark = _scaling_session(p)
+            spark = _scaling_session(p, high)
             if "kg_pipeline" in jobs:
                 # warmup (python workers, codegen)
                 run_kg_pipeline(spark, 0.001)

@@ -14,11 +14,21 @@ Two kinds of barrier, chosen by expected size:
   impossible by construction; stage outputs live on (distributed)
   storage, which is exactly what this barrier models. Parquet is also
   5-10x smaller than the in-memory rows for the string-heavy KG
-  tables, and successive runs overwrite instead of stacking blocks.
+  tables.
+
+Each barrier write lands in a fresh generation directory (DataFrames
+returned by earlier pipeline runs in the same session must stay
+readable, so a shared overwrite path is not an option). Disk is
+reclaimed by ``clear_scratch`` between standalone pipeline reps (bench
+does this) and, as a backstop, by an ``atexit`` hook registered on the
+first write of each session — so long-lived processes that run many
+pipelines (golden tests, the driver-contract registry) do not leave
+fact-scale parquet stacked in /tmp after exit.
 """
 
 from __future__ import annotations
 
+import atexit
 import itertools
 import os
 import shutil
@@ -33,45 +43,49 @@ from pyspark.sql import DataFrame, SparkSession
 # FileNotFoundException in a session that runs the pipeline twice).
 _SEQ = itertools.count()
 
+# scratch dirs with a registered atexit cleanup, keyed by applicationId
+_ATEXIT_REGISTERED: set[str] = set()
+
 
 def _scratch_dir(spark: SparkSession) -> str:
     app_id = spark.sparkContext.applicationId
     return os.path.join(tempfile.gettempdir(), f"tds_stage_{app_id}")
 
 
-def parquet_barrier(
-    df: DataFrame, name: str, by: list[str] | None = None
-) -> DataFrame:
+def _register_cleanup(path: str) -> None:
+    if path not in _ATEXIT_REGISTERED:
+        _ATEXIT_REGISTERED.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+
+def parquet_barrier(df: DataFrame, name: str) -> DataFrame:
     """Materialize ``df`` to scratch parquet and return a fresh native
     scan of it (plan truncated, storage pool untouched).
 
-    Each call writes a new generation dir (bounded only by
-    ``clear_scratch``): disk is reclaimed by ``clear_scratch`` between
-    standalone pipeline reps (bench does) or at session end; at real
-    scale the checkpoint_dir mode owns stage storage instead.
-
-    The write is repartitioned to ``defaultParallelism`` files: AQE
-    byte-coalescing otherwise packs a small-in-bytes barrier into ONE
-    file, and since each Spark-written file is a single row group, a
-    one-file barrier is unsplittable — every downstream stage over it
-    collapses to one task no matter the core count (measured: the
-    cea_linked scan ran 1.2M rows single-task, 4-6 s serial per
-    consumer). One extra small shuffle at write time buys parallel
-    scans for every consumer.
-
-    ``by`` (unused, kept for call-site documentation): the stage's
-    natural partitioning key. The write itself relies on the session's
-    AQE floor (coalescePartitions.minPartitionSize=16k, session.py): a
+    The write is NOT explicitly repartitioned; file-count control is
+    the session's AQE coalesce floor
+    (``coalescePartitions.minPartitionSize=16k``, session.py): a
     shuffle-fed stage lands at ~bytes/16k partitions — data-
     proportional width, so a small-sf barrier is a handful of files
-    (cheap task dispatch) and a large one is executor-wide, and every
-    barrier input here is shuffle-fed or scan-wide. Probing the plan
-    width via ``df.rdd`` is NOT an option: under AQE that conversion
-    materializes the query stages, executing the upstream once for the
-    probe and again for the write.
+    (cheap task dispatch) and a large one is executor-wide. Every
+    barrier input here is shuffle-fed or scan-wide, so the floor
+    applies. The floor matters because each Spark-written file is a
+    single row group: a one-file barrier would be unsplittable and
+    every downstream stage over it would collapse to one task
+    (measured: a 1.2M-row cea_linked scan ran single-task, 4-6 s
+    serial per consumer, before the floor was configured). Probing the
+    plan width via ``df.rdd`` is NOT an option: under AQE that
+    conversion materializes the query stages, executing the upstream
+    once for the probe and again for the write.
+
+    Generation dirs accumulate within a session; ``clear_scratch``
+    reclaims them between standalone reps, and an ``atexit`` hook
+    (registered on first write) reclaims them at process exit.
     """
     spark = df.sparkSession
-    path = os.path.join(_scratch_dir(spark), f"{name}-g{next(_SEQ)}")
+    scratch = _scratch_dir(spark)
+    _register_cleanup(scratch)
+    path = os.path.join(scratch, f"{name}-g{next(_SEQ)}")
     df.write.parquet(path)
     return spark.read.parquet(path)
 

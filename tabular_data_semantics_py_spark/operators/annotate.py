@@ -58,7 +58,7 @@ def _cea_scored(
         .join(candidates, "mention_norm")
     )
     if not fused:
-        linked = parquet_barrier(linked, "cea_linked", by=["table_id", "col"])
+        linked = parquet_barrier(linked, "cea_linked")
     # consumed by phase 1 and phase 2
 
     # phase-1 argmax as a hash aggregate (min_by over a struct whose

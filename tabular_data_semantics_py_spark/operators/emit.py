@@ -82,7 +82,7 @@ def emit_triples(
         # 7 consumers; fact-scale (one row per table row) → parquet
         # barrier, not executor storage (barriers.py)
         rows_present = parquet_barrier(
-            rows_present, "emit_rows_present", by=["table_id"]
+            rows_present, "emit_rows_present"
         )
     row_uri = F.concat(
         base, F.col("table_id"), F.lit("-col-0-row-"),

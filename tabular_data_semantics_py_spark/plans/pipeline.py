@@ -70,8 +70,6 @@ class PipelineResult:
 # localCheckpoint scan has NO stats and is treated as enormous, which
 # inverted broadcast choices — see operators/annotate.py history.)
 _FUSED_BARRIERS = {"cells", "entity_types", "cea"}
-_BARRIER_KEYS = {"cells": ["table_id"], "entity_types": ["uri"],
-                 "cea": ["table_id"]}
 
 
 class _Checkpointer:
@@ -106,9 +104,7 @@ class _Checkpointer:
                 # localCheckpoint (see barriers.py: a full-corpus
                 # executor-storage checkpoint starves every later
                 # shuffle of execution memory)
-                return parquet_barrier(
-                    compute(), name, by=_BARRIER_KEYS.get(name)
-                )
+                return parquet_barrier(compute(), name)
             return compute()
         path = os.path.join(self.root, name)
         done = os.path.exists(os.path.join(path, "_SUCCESS"))
@@ -238,7 +234,7 @@ def run_pipeline(
         cells_m = (
             cells_m.localCheckpoint(True)
             if materialize == "all"
-            else parquet_barrier(cells_m, "cells_m", by=["table_id"])
+            else parquet_barrier(cells_m, "cells_m")
         )
     res.stages["cells_m"] = cells_m
 

@@ -4,19 +4,29 @@ entry_queries.events_sessions, which the reference models only as
 batch resume — SURVEY.md §2.10).
 
 Semantics (pinned to the batch query): a session is a maximal run of a
-user's events where consecutive gaps are ≤ ``gap_min`` minutes.
+user's events where consecutive gaps are ≤ ``gap_min`` minutes — over
+the user's events sorted by event time, regardless of arrival order
+across micro-batches (late events within the watermark horizon land in
+the right session; events older than the watermark are dropped by the
+engine, the bounded-state contract).
 
-State machine per user_id:
-- in-batch: events sorted by (ts, event_id); a gap > ``gap_min``
-  closes the current session (emitted immediately) and opens a new one
-- across batches: the open session persists in state;
-  ``EventTimeTimeout`` set to last_ts + gap closes it once the
-  watermark passes (late events beyond the watermark are dropped by
-  the engine, exactly the bounded-state contract)
+State machine per user_id — *session fragments*, not raw events:
+state holds the user's open fragments ``(start, end, n)``. Interval
+merging of fragments under the gap rule is EXACT for gap
+sessionization: a fragment is a valid run, so any event that lands
+inside a fragment's ``[start, end]`` is within ``gap`` of the two run
+events that bracket it, and an event within ``gap`` of a fragment
+boundary is within ``gap`` of the boundary event itself. Hence
+buffering ``(start, end, n)`` triples loses nothing relative to
+buffering every timestamp, and state stays O(open fragments per user)
+— typically 1-2 fixed-width rows — instead of O(events in the
+watermark horizon).
 
-Scale: state is one fixed-width row per active user (three longs), the
-grouping key is the natural partitioning key, and each micro-batch
-task processes its users' events as Arrow batches — no per-row Python.
+A fragment is emitted only once the watermark passes ``end + gap``:
+no event that could still arrive (ts > watermark) can merge into it,
+so emitted sessions are final — the append-mode contract. Emission
+happens either when a data batch advances the watermark or via the
+event-time timer set at the earliest open ``end + gap``.
 """
 
 from __future__ import annotations
@@ -28,7 +38,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUT_SCHEMA = (
     "user_id string, session_start long, session_end long, n_events long"
 )
-STATE_SCHEMA = "start long, last long, n long"
+# parallel arrays of open fragments, sorted by start
+STATE_SCHEMA = "starts array<long>, ends array<long>, ns array<long>"
 
 _MS = 10**6  # pandas datetime64[ns] → ms divisor is 1e6
 
@@ -45,6 +56,19 @@ def _epoch_ms(series):
     ).astype("int64")
 
 
+def _merge_fragments(frags: list, gap_ms: int) -> list:
+    """Merge (start, end, n) fragments under the gap rule; input need
+    not be sorted; output sorted by start."""
+    out: list = []
+    for s, e, n in sorted(frags):
+        if out and s - out[-1][1] <= gap_ms:
+            ps, pe, pn = out[-1]
+            out[-1] = (ps, max(pe, e), pn + n)
+        else:
+            out.append((s, e, n))
+    return out
+
+
 def make_sessionizer(gap_min: int = 30):
     """Returns the (key, pdf_iter, state) function for
     ``applyInPandasWithState``; split out so unit tests can drive the
@@ -56,8 +80,34 @@ def make_sessionizer(gap_min: int = 30):
 
         user_id = key[0]
 
-        def rows(closed):
-            return pd.DataFrame(
+        frags: list = []
+        if state.exists:
+            starts, ends, ns = state.get
+            frags = list(zip(starts, ends, ns))
+        # on a timer firing, pdfs is empty — same code path, the
+        # advanced watermark below does the closing
+        for pdf in pdfs:
+            frags.extend((t, t, 1) for t in _epoch_ms(pdf["ts"]).tolist())
+        frags = _merge_fragments(frags, gap_ms)
+
+        wm = state.getCurrentWatermarkMs()
+        closed = [f for f in frags if f[1] + gap_ms < wm]
+        open_ = [f for f in frags if f[1] + gap_ms >= wm]
+
+        if open_:
+            state.update((
+                [f[0] for f in open_],
+                [f[1] for f in open_],
+                [f[2] for f in open_],
+            ))
+            # fire when the watermark passes the earliest closable
+            # fragment; must be strictly beyond the current watermark
+            state.setTimeoutTimestamp(max(open_[0][1] + gap_ms, wm + 1))
+        elif state.exists:
+            state.remove()
+
+        if closed:
+            yield pd.DataFrame(
                 [
                     {
                         "user_id": user_id,
@@ -68,33 +118,6 @@ def make_sessionizer(gap_min: int = 30):
                     for (s, e, n) in closed
                 ]
             )
-
-        if state.hasTimedOut:
-            start, last, n = state.get
-            state.remove()
-            yield rows([(start, last, n)])
-            return
-
-        ts = []
-        for pdf in pdfs:
-            ts.append(_epoch_ms(pdf["ts"]))
-        ts = sorted(pd.concat(ts).tolist()) if ts else []
-
-        cur = state.get if state.exists else None
-        closed = []
-        for t in ts:
-            if cur is None:
-                cur = (t, t, 1)
-            elif t - cur[1] <= gap_ms:
-                cur = (cur[0], max(cur[1], t), cur[2] + 1)
-            else:
-                closed.append(cur)
-                cur = (t, t, 1)
-        if cur is not None:
-            state.update(cur)
-            state.setTimeoutTimestamp(cur[1] + gap_ms)
-        if closed:
-            yield rows(closed)
 
     return fn
 
@@ -117,4 +140,46 @@ def sessionize_stream(
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_min: int = 30) -> DataFrame:
+    """Batch gap sessionization with the SAME output schema as
+    ``sessionize_stream`` — per-session rows via a lag window + run-id
+    cumsum. Used by the batch≡streaming equivalence test; the
+    entry-query ``events_sessions`` is the per-user rollup of this."""
+    gap_ms = gap_min * 60 * 1000
+    from pyspark.sql.window import Window
+
+    ms = (
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "cast('1970-01-01 00:00:00' as timestamp_ntz), "
+            "cast(ts as timestamp_ntz)) div 1000"
+        )
+    ).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ms")
+    wrun = Window.partitionBy("user_id").orderBy("ms").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        events.select(F.col("user_id").cast("string").alias("user_id"),
+                      ms.alias("ms"))
+        .withColumn("prev", F.lag("ms").over(w))
+        .withColumn(
+            "is_start",
+            F.when(
+                F.col("prev").isNull()
+                | ((F.col("ms") - F.col("prev")) > gap_ms),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("run", F.sum("is_start").over(wrun))
+        .groupBy("user_id", "run")
+        .agg(
+            F.min("ms").alias("session_start"),
+            F.max("ms").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("run")
     )
