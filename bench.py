@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "doc_minhash_signatures",
     "doc_simhash",
+    "doc_simhash_pairs",
     "doc_minhash_lsh_shingle",
     "media_meta",
     "emb_knn",

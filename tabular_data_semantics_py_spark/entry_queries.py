@@ -1576,17 +1576,20 @@ def doc_minhash_lsh_shingle(spark, sf_dir):
 
 
 def _o_minhash_signatures():
-    # independent recomputation of the sf0.01 signatures with the
-    # pure-Python XXH64 (the driver's correctness gate is pinned to
-    # sf0.01); raises if the table is elsewhere → degrades to rows-only
+    # independent recomputation of the signatures with the pure-Python
+    # XXH64. sf-parametric: the harness exports TDS_ORACLE_SF_DIR for
+    # the sf it compares at (driver_mirror does); default is the
+    # driver's correctness-gate sf (0.01). Raises if the table is
+    # elsewhere → degrades to rows-only.
     import duckdb
 
     from .functions.xxh64 import spark_xxhash64
 
+    sf_dir = os.environ.get("TDS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     con = duckdb.connect()
     docs = con.execute(
         "SELECT doc_id, text FROM "
-        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        f"read_parquet('{sf_dir}/documents.parquet')"
     ).fetchall()
     rows = []
     for doc_id, text in docs:
@@ -1611,12 +1614,84 @@ def doc_minhash_signatures(spark, sf_dir):
     return minhash_signatures(_load(spark, sf_dir, "documents"), n_hashes=8)
 
 
-@q("doc_simhash")
+def _simhash_scalar_table():
+    """Independent scalar SimHash recomputation over the oracle sf's
+    documents (naive per-token bit loop — deliberately nothing like
+    the vectorized vocab-gather in operators/dedup.py). Token bit
+    rows are memoized (Zipf) to keep the oracle build fast."""
+    import duckdb
+    import hashlib
+
+    sf_dir = os.environ.get("TDS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    bit_memo: dict[str, list[int]] = {}
+
+    def bits_of(tok: str) -> list[int]:
+        if tok not in bit_memo:
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+            )
+            bit_memo[tok] = [1 if (h >> i) & 1 else -1 for i in range(64)]
+        return bit_memo[tok]
+
+    rows = []
+    for doc_id, text in docs:
+        toks = (text or "").split()
+        if not toks:
+            rows.append((doc_id, 0))
+            continue
+        counts = [0] * 64
+        for tok in toks:
+            tb = bits_of(tok)
+            for i in range(64):
+                counts[i] += tb[i]
+        v = 0
+        for i in range(64):
+            if counts[i] >= 0:
+                v |= 1 << i
+        rows.append((doc_id, v - (1 << 64) if v >= (1 << 63) else v))
+    return rows
+
+
+def _o_simhash():
+    return (
+        "SELECT id, CAST(simhash AS BIGINT) AS simhash FROM "
+        + _values(_simhash_scalar_table(), "id, simhash")
+    )
+
+
+def _o_simhash_pairs():
+    return f"""
+WITH s AS (SELECT id, CAST(simhash AS BIGINT) AS simhash
+           FROM {_values(_simhash_scalar_table(), "id, simhash")})
+SELECT a.id AS i, b.id AS j,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@q("doc_simhash", _o_simhash)
 def doc_simhash(spark, sf_dir):
-    """64-bit SimHash fingerprints (numpy pandas UDF) — rows-only."""
+    """64-bit SimHash fingerprints (numpy pandas UDF). Oracle:
+    independent scalar recomputation (VALUES table) — closes the r02
+    no_oracle row."""
     from .operators.dedup import simhash64
 
     return simhash64(_load(spark, sf_dir, "documents"))
+
+
+@q("doc_simhash_pairs", _o_simhash_pairs)
+def doc_simhash_pairs(spark, sf_dir):
+    """Banded Hamming LSH over SimHash (4 × 16-bit blocks, exact for
+    distance ≤ 3 by pigeonhole) — SimHash as a dedup *operator*, not
+    just a column. Oracle: full pairwise xor+bit_count filter over
+    independently recomputed fingerprints."""
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(_load(spark, sf_dir, "documents"), max_hamming=3)
 
 
 @q("media_meta")

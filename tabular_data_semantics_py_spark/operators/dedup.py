@@ -228,6 +228,79 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Hamming-neighbor near-dup pairs over 64-bit SimHash via banded
+    LSH (Manku/Google block-permuted scheme, simplified to exact-block
+    tables): split the fingerprint into ``n_bands`` equal bit blocks;
+    docs sharing ANY block value become candidates; candidates are
+    verified with ``bit_count(xor) <= max_hamming``.
+
+    Exact for ``max_hamming < n_bands`` (pigeonhole: ≤ max_hamming
+    differing bits cannot touch every one of n_bands blocks, so at
+    least one block matches exactly) — output ≡ the full pairwise
+    Hamming filter. Defaults (4 × 16-bit blocks, distance ≤ 3) are the
+    classic web-dedup operating point: 2^16 buckets per band keeps the
+    per-bucket fan-out sub-quadratic at corpus scale, and
+    ``max_bucket_size`` guards the boilerplate-cluster hot buckets
+    exactly like the MinHash-LSH path.
+
+    → (i, j, hamming), i < j.
+    """
+    assert 64 % n_bands == 0 and max_hamming < n_bands
+    bits = 64 // n_bands
+    mask = (1 << bits) - 1
+    sig = simhash64(docs, text_col, id_col)
+    band_rows = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        hot = (
+            band_rows.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        band_rows = band_rows.join(
+            F.broadcast(hot), ["band", "bucket"], "left_anti"
+        )
+    l = band_rows.select(F.col("id").alias("i"), F.col("simhash").alias("si"),
+                         "band", "bucket")
+    r = band_rows.select(F.col("id").alias("j"), F.col("simhash").alias("sj"),
+                         "band", "bucket")
+    return (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("i") < F.col("j"))
+        .dropDuplicates(["i", "j"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("si").bitwiseXOR(F.col("sj"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("i", "j", "hamming")
+    )
+
+
 def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -24,8 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from .topk import bounded_min_k
 from ..constants import (
     AVOID_PREDICATES,
     ONTOLOGY_NS,
@@ -84,15 +84,16 @@ def fragment_full(
         )
     )
 
-    # arm 3: capped deterministic member sample per CTA class
+    # arm 3: capped deterministic member sample per CTA class. The cap
+    # is a salted bounded min-k, NOT a row_number window — a hot class
+    # (10^8 members of one type is normal at corpus scale) would put
+    # every member into one sort task (VERDICT r02 finding #1).
     cls = cta_df.select("cls").distinct()
-    w_m = Window.partitionBy("cls").orderBy("member")
-    members = (
+    members = bounded_min_k(
         kg_triples.where(F.col("pred") == RDF_TYPE)
         .join(cls, F.col("obj") == F.col("cls"))
-        .select("cls", F.col("subj").alias("member"))
-        .withColumn("rn", F.row_number().over(w_m))
-        .where(F.col("rn") <= members_cap)
+        .select("cls", F.col("subj").alias("member")),
+        keys=["cls"], order_cols=["member"], k=members_cap,
     )
     member_types = members.select(
         F.col("member").alias("subj"), F.lit(RDF_TYPE).alias("pred"),
@@ -117,13 +118,16 @@ def fragment_full(
         .select("pred", "is_object")
     )
 
-    # capped 1-hop neighborhood, then literal/object routing
-    w_s = Window.partitionBy("subj").orderBy("pred", "obj")
+    # capped 1-hop neighborhood, then literal/object routing — same
+    # bounded min-k (a hub entity's triples would otherwise be one
+    # sort task)
     nb = (
-        kg_triples.join(ents, kg_triples.subj == ents.uri)
-        .where(~F.col("pred").isin(*sorted(AVOID_PREDICATES)))
-        .withColumn("rn", F.row_number().over(w_s))
-        .where(F.col("rn") <= per_entity_cap)
+        bounded_min_k(
+            kg_triples.join(ents, kg_triples.subj == ents.uri)
+            .where(~F.col("pred").isin(*sorted(AVOID_PREDICATES)))
+            .select("subj", "pred", "obj"),
+            keys=["subj"], order_cols=["pred", "obj"], k=per_entity_cap,
+        )
         .join(F.broadcast(kind), "pred")
         .where(
             (F.col("is_object") & F.col("obj").startswith(RESOURCE_NS))

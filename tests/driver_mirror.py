@@ -6,6 +6,7 @@ values. Usable as a script (fast iteration) and from pytest."""
 from __future__ import annotations
 
 import math
+import os
 import sys
 from pathlib import Path
 
@@ -68,6 +69,10 @@ def run_all(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None
     sys.path.insert(0, str(REPO))
     import __spark_entry__ as entry
 
+    # sf-parametric oracles (doc_minhash_signatures recomputes
+    # signatures from the table itself) follow the compared sf dir
+    os.environ["TDS_ORACLE_SF_DIR"] = sf_dir
+
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -98,7 +103,8 @@ def run_all(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None
 
 if __name__ == "__main__":
     only = sys.argv[1].split(",") if len(sys.argv) > 1 else None
-    res = run_all(only=only)
+    sf_dir = os.environ.get("TDS_MIRROR_SF_DIR", "/root/testdata/sf0.01")
+    res = run_all(sf_dir=sf_dir, only=only)
     bad = 0
     for name, (status, n, problems) in res.items():
         print(f"{status:9s} {name:28s} rows={n}")

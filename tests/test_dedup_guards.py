@@ -32,6 +32,23 @@ def test_hot_bucket_cap_is_subset(spark):
     assert capped <= full
 
 
+def test_simhash_pairs_hot_bucket_cap_is_subset(spark):
+    """Same guard contract as the MinHash path: capping hot SimHash
+    band buckets may only lose pairs, never invent or mis-rank them."""
+    from tabular_data_semantics_py_spark.operators.dedup import simhash_pairs
+
+    docs = _docs(spark)
+    full = {
+        (r.i, r.j, r.hamming)
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    capped = {
+        (r.i, r.j, r.hamming)
+        for r in simhash_pairs(docs, max_hamming=3, max_bucket_size=2).collect()
+    }
+    assert capped <= full
+
+
 def test_simhash_matches_scalar_reference(spark):
     """The vocab-vectorized SimHash equals the naive per-token scalar
     definition (bit b set iff ones*2 >= n over duplicated tokens)."""
