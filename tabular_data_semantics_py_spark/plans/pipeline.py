@@ -40,7 +40,7 @@ from ..sources.csv_cells import parse_cells
 from ..sources.repo_source import discover_csv_artifacts
 
 STAGES = [
-    "closure", "cells", "candidates", "entity_types",
+    "closure", "cells", "candidates", "cells_m", "entity_types",
     "cea", "cta", "cpa", "triples",
 ]
 
@@ -69,7 +69,7 @@ class PipelineResult:
 # plan falls out of the stats instead of per-join hints. (A
 # localCheckpoint scan has NO stats and is treated as enormous, which
 # inverted broadcast choices — see operators/annotate.py history.)
-_FUSED_BARRIERS = {"cells", "entity_types", "cea"}
+_FUSED_BARRIERS = {"cells", "cells_m", "entity_types", "cea"}
 
 
 class _Checkpointer:
@@ -81,16 +81,16 @@ class _Checkpointer:
         self.materialize = materialize
         self.metrics: list[dict] = []
 
-    def stage(self, name: str, compute) -> DataFrame:
+    def stage(self, name: str, compute, extra_metric=None) -> DataFrame:
         # label every job this stage triggers (AQE/broadcast subjobs
         # inherit the description through their captured thread-locals)
         self.spark.sparkContext.setJobDescription(f"tds:{name}")
         try:
-            return self._stage(name, compute)
+            return self._stage(name, compute, extra_metric)
         finally:
             self.spark.sparkContext.setJobDescription(None)
 
-    def _stage(self, name: str, compute) -> DataFrame:
+    def _stage(self, name: str, compute, extra_metric=None) -> DataFrame:
         if self.root is None:
             if self.materialize == "all":
                 # registry mode (small sf, stages queried repeatedly):
@@ -115,12 +115,25 @@ class _Checkpointer:
         df = compute()
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
-        # per-partition lineage row counts (A9 metrics-table role)
+        # per-partition lineage row counts (A9 metrics-table role).
+        # ``extra_metric(out) -> DataFrame[metric string, n long]``
+        # rides the SAME collect (one driver action per stage, not
+        # two — the sha-integrity fold, VERDICT r02 #1b).
+        lineage = out.groupBy(
+            F.spark_partition_id().alias("pid")
+        ).agg(F.count(F.lit(1)).alias("rows")).select(
+            F.lit(None).cast("string").alias("metric"), "pid", "rows"
+        )
+        if extra_metric is not None:
+            lineage = lineage.unionByName(
+                extra_metric(out).select(
+                    "metric", F.lit(-1).alias("pid"), F.col("n").alias("rows")
+                )
+            )
+        collected = lineage.collect()
         part_counts = [
             {"stage": name, "partition": r["pid"], "rows": r["rows"]}
-            for r in out.groupBy(
-                F.spark_partition_id().alias("pid")
-            ).agg(F.count(F.lit(1)).alias("rows")).collect()
+            for r in collected if r["metric"] is None
         ]
         self.metrics.append(
             {
@@ -130,6 +143,9 @@ class _Checkpointer:
                 "partitions": part_counts,
             }
         )
+        for r in collected:
+            if r["metric"] is not None:
+                self.metrics.append({"stage": r["metric"], "mismatches": r["rows"]})
         return out
 
     def finish(self) -> None:
@@ -180,29 +196,32 @@ def run_pipeline(
     if upto("cells"):
         ck.finish()
         return res
-    res.stages["cells"] = ck.stage(
-        "cells",
-        lambda: parse_cells(discover_csv_artifacts(dfs["source_repos"])),
-    )
 
-    # per-row content-sha integrity (BASELINE.json input_hint invariant):
-    # every (path, content_sha) seen in cells must equal the sha2 of the
-    # source row's content.
-    cells = res.stages["cells"]
-    if checkpoint_dir is not None:
+    # per-row content-sha integrity (BASELINE.json input_hint
+    # invariant): every (path, content_sha) seen in cells must equal
+    # the sha2 of the source row's content. Folded into the cells
+    # stage's lineage collect — one driver action, not two.
+    def _sha_integrity(cells_out: DataFrame) -> DataFrame:
         src_sha = dfs["source_repos"].select(
             "path", F.sha2(F.col("content"), 256).alias("src_sha")
         )
-        bad = (
-            cells.select("path", "content_sha").distinct()
+        return (
+            cells_out.select("path", "content_sha").distinct()
             .join(src_sha, "path", "left")
             .where(
                 F.col("src_sha").isNull()
                 | (F.col("src_sha") != F.col("content_sha"))
             )
-            .count()
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("sha_integrity").alias("metric"), "n")
         )
-        ck.metrics.append({"stage": "sha_integrity", "mismatches": bad})
+
+    res.stages["cells"] = ck.stage(
+        "cells",
+        lambda: parse_cells(discover_csv_artifacts(dfs["source_repos"])),
+        extra_metric=_sha_integrity if checkpoint_dir is not None else None,
+    )
+    cells = res.stages["cells"]
 
     if upto("candidates"):
         ck.finish()
@@ -210,33 +229,34 @@ def run_pipeline(
     data = cells.where(F.col("row") >= 0)
     cells_m_holder: dict[str, DataFrame] = {}
 
-    def _cands() -> DataFrame:
+    def _gen_candidates() -> tuple[DataFrame, DataFrame]:
         cm, cand = generate_candidates(
             data, dfs["entity_index"], fused=cand_fused
         )
         cells_m_holder["cells_m"] = cm
-        return cand
+        return cm, cand
 
-    res.stages["candidates"] = ck.stage("candidates", _cands)
-    if "cells_m" not in cells_m_holder:
-        cm, _ = generate_candidates(
-            data, dfs["entity_index"], fused=cand_fused
-        )
-        cells_m_holder["cells_m"] = cm
-    cells_m = cells_m_holder["cells_m"]
-    # derived view (not a resumable checkpoint stage): cells +
-    # mention_norm, consumed by CEA here and by the fragment query.
-    # Materialize it in no-checkpoint modes: its subtree re-scans the
-    # full cell table through the prenorm expressions and the bridge
-    # join, which would otherwise execute once per consumer (measured
+    res.stages["candidates"] = ck.stage(
+        "candidates", lambda: _gen_candidates()[1]
+    )
+    if upto("cells_m"):
+        ck.finish()
+        return res
+    # cells + mention_norm, consumed by CEA here and by the fragment
+    # query — a first-class resumable stage: a resumed run reads the
+    # checkpoint instead of re-running the bridge normalization
+    # subtree (VERDICT r02 #6). In no-checkpoint modes it is eagerly
+    # materialized for the same reason: the subtree re-scans the full
+    # cell table through the prenorm expressions and the bridge join,
+    # which would otherwise execute once per consumer (measured
     # ~25-30 s CPU duplicated at the sf2.5 scaling corpus).
-    if checkpoint_dir is None:
-        cells_m = (
-            cells_m.localCheckpoint(True)
-            if materialize == "all"
-            else parquet_barrier(cells_m, "cells_m")
-        )
-    res.stages["cells_m"] = cells_m
+    res.stages["cells_m"] = ck.stage(
+        "cells_m",
+        lambda: cells_m_holder.get("cells_m")
+        if "cells_m" in cells_m_holder
+        else _gen_candidates()[0],
+    )
+    cells_m = res.stages["cells_m"]
 
     closure_map = closure_to_map(res.stages["closure"])
 
