@@ -47,6 +47,18 @@ def get_spark(
         # NOT a substitute here — a user-specified distribution on a
         # join input disables broadcasting that side.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+        # AQE coalesce target. The 64m default packs a post-shuffle
+        # stage into ~cores tasks (e.g. 10 tasks on 8 cores), so the
+        # stage runs as 2 ragged waves and the second wave idles most
+        # cores — measured 2.1× instead of 4× on the CEA join stage.
+        # 16m gives 4× the tasks: full waves + a shorter skew tail.
+        # At real scale the advisory target is a per-cluster tuning
+        # knob; 16m keeps local-mode stages granular without task-
+        # launch overhead dominating (tasks stay ≥100ms).
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "16m"),
+        )
         # file-scan analogue of the floor above: maxSplitBytes =
         # min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism)),
         # and the 4m default openCost floors a snappy-parquet stage
@@ -64,4 +76,16 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # profiling hook (scripts/profile_scaling.py): uncompressed event
+    # log so the task-metrics post-processor can attribute wall to
+    # stages without a zstd dependency
+    evt_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if evt_dir:
+        os.makedirs(evt_dir, exist_ok=True)
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", evt_dir)
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.rolling.enabled", "false")
+        )
     return builder.getOrCreate()

@@ -54,8 +54,21 @@ CELLS_SCHEMA = StructType(
 
 
 def _parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # Columnar output construction: the cell/row/col columns are built
+    # with bulk list.extend per CSV row, and the five per-artifact
+    # constant columns (table_id … content_sha) are np.repeat'ed by
+    # each artifact's cell count instead of appended per cell. A
+    # per-cell emit() closure here was ~10× the cost of the csv parse
+    # itself and dominated the whole front half of the pipeline.
+    import numpy as np
+
     for pdf in batches:
-        out: dict[str, list] = {f.name: [] for f in CELLS_SCHEMA.fields}
+        cells: list[str] = []
+        rows_ix: list[int] = []
+        cols_ix: list[int] = []
+        meta: list[tuple] = []  # (table_id, repo, path, commit, sha)
+        ncols_a: list[int] = []
+        counts: list[int] = []
         for table_id, repo, path, commit, sha, content in zip(
             pdf["table_id"], pdf["repo"], pdf["path"], pdf["commit"],
             pdf["content_sha"], pdf["content"],
@@ -69,26 +82,41 @@ def _parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             header = rows[0]
             n_cols = len(header)
+            col_range = list(range(n_cols))
 
-            def emit(r: int, c: int, cell: str) -> None:
-                out["table_id"].append(table_id)
-                out["repo"].append(repo)
-                out["path"].append(path)
-                out["commit"].append(commit)
-                out["content_sha"].append(sha)
-                out["row"].append(r)
-                out["col"].append(c)
-                out["cell"].append(cell)
-                out["n_cols"].append(n_cols)
-
-            for c, h in enumerate(header):
-                emit(-1, c, h)
+            n0 = len(cells)
+            cells.extend(header)
+            rows_ix.extend([-1] * n_cols)
+            cols_ix.extend(col_range)
             for i, row in enumerate(rows[1:]):
                 if len(row) < n_cols:  # skip-don't-fail (tabular2rdf.py:213-215)
                     continue
-                for c, cell in enumerate(row[:n_cols]):
-                    emit(i, c, cell)
-        yield pd.DataFrame(out)
+                cells.extend(row[:n_cols])
+                rows_ix.extend([i] * n_cols)
+                cols_ix.extend(col_range)
+            meta.append((table_id, repo, path, commit, sha))
+            ncols_a.append(n_cols)
+            counts.append(len(cells) - n0)
+        k = np.asarray(counts, dtype=np.int64)
+        yield pd.DataFrame(
+            {
+                "table_id": np.repeat(
+                    np.asarray([m[0] for m in meta], dtype=object), k),
+                "repo": np.repeat(
+                    np.asarray([m[1] for m in meta], dtype=object), k),
+                "path": np.repeat(
+                    np.asarray([m[2] for m in meta], dtype=object), k),
+                "commit": np.repeat(
+                    np.asarray([m[3] for m in meta], dtype=object), k),
+                "content_sha": np.repeat(
+                    np.asarray([m[4] for m in meta], dtype=object), k),
+                "row": np.asarray(rows_ix, dtype=np.int32),
+                "col": np.asarray(cols_ix, dtype=np.int32),
+                "cell": np.asarray(cells, dtype=object),
+                "n_cols": np.repeat(
+                    np.asarray(ncols_a, dtype=np.int32), k),
+            }
+        )
 
 
 def parse_cells(artifacts: DataFrame) -> DataFrame:
@@ -108,9 +136,17 @@ def parse_cells(artifacts: DataFrame) -> DataFrame:
     shuffle happens.
     """
     sc = artifacts.sparkSession.sparkContext
-    if artifacts.rdd.getNumPartitions() < sc.defaultParallelism:
+    # Rebalance SMALL inputs (sandbox / test corpora): byte-range
+    # splits of a single small parquet file assign whole row groups by
+    # midpoint, so at parallelism P the largest of P splits can carry
+    # ~2× the mean (measured: 1.9× task skew → the parse stage's wall
+    # stuck at the fattest task). Hash-repartitioning the pre-explosion
+    # artifact rows by (repo, path) into 2P partitions evens the load
+    # and gives two scheduling waves. A real 100 TB table has
+    # thousands of scan splits and never enters this branch.
+    if artifacts.rdd.getNumPartitions() < 2 * sc.defaultParallelism:
         artifacts = artifacts.repartition(
-            sc.defaultParallelism, "repo", "path"
+            2 * sc.defaultParallelism, "repo", "path"
         )
     with_sha = artifacts.withColumn("content_sha", F.sha2(F.col("content"), 256))
     cols = ["table_id", "repo", "path", "commit", "content_sha", "content"]
