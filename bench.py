@@ -164,6 +164,92 @@ def run_candidate_skew(spark, n_idx: int = 20_000, n_mentions: int = 50_000):
     return out[0], out[1]
 
 
+def run_vote_skew(spark, n_cells: int = 2_000_000, n_ent: int = 200_000):
+    """Dominant-entity/type skew evidence for the CTA vote stage
+    (VERDICT r02 #9): in a real corpus one entity page — and its class
+    — can appear in a large fraction of all cells ('Person' in half
+    the columns). The vote plan joins CEA (fact, keyed by uri) to the
+    per-entity most-specific types, then counts votes per
+    (table, col, type). Returns (sec_uniform, sec_skew).
+
+    - uniform: cells reference n_ent entities evenly.
+    - skew: 50% of ALL cells reference ONE uri (whose type is also
+      carried by 1-in-50 of the rest) — the join's hot key.
+
+    Broadcast of the entity side is disabled for the measurement: at
+    production scale the entity-types table is 10^8 rows and cannot
+    broadcast, so the honest shape is the shuffle join, where the hot
+    uri lands one reducer unless AQE's skew-join splitting
+    (spark.sql.adaptive.skewJoin, on by default) carves it up. The
+    vote count itself is safe by construction: partial (map-side)
+    aggregation collapses the dominant type before the shuffle.
+    Within ~2x of uniform = the claim holds.
+    """
+    from pyspark.sql import functions as F
+
+    from tabular_data_semantics_py_spark.constants import AGENT_CLASS
+    from tabular_data_semantics_py_spark.operators.annotate import (
+        cta as cta_op,
+    )
+    from tabular_data_semantics_py_spark.operators.closure import (
+        build_closure,
+        closure_to_map,
+    )
+    from tabular_data_semantics_py_spark.operators.types_cascade import (
+        make_most_specific_udf,
+    )
+
+    ns = "http://dbpedia.org/ontology/"
+    edges = spark.createDataFrame(
+        [(f"{ns}C{i}", f"{ns}Root") for i in range(50)],
+        "class_uri string, parent_uri string",
+    )
+    closure = build_closure(edges).localCheckpoint()
+    ms_udf = make_most_specific_udf(closure_to_map(closure), AGENT_CLASS)
+
+    ent = (
+        spark.range(n_ent)
+        .select(
+            F.concat(F.lit("http://x/e"), "id").alias("uri"),
+            F.array(
+                F.concat(F.lit(ns + "C"), (F.col("id") % 50).cast("string"))
+            ).alias("types"),
+        )
+        .localCheckpoint()
+    )
+
+    def cea(skew: bool):
+        base = spark.range(n_cells)
+        eid = F.col("id") % n_ent
+        if skew:
+            eid = F.when((F.col("id") % 2) == 0, F.lit(0)).otherwise(eid)
+        return base.select(
+            F.concat(F.lit("t"), (F.col("id") % 400).cast("string")).alias(
+                "table_id"
+            ),
+            (F.col("id") % 5).cast("int").alias("col"),
+            (F.col("id") / 2000).cast("int").alias("row"),
+            F.concat(F.lit("http://x/e"), eid.cast("string")).alias("uri"),
+        ).localCheckpoint()
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # warm both plan shapes (codegen + python workers) before timing
+        for skew in (False, True):
+            cta_op(cea(skew).limit(1000), ent, ms_udf, closure).count()
+        out = []
+        for skew in (False, True):
+            c = cea(skew)
+            _gc(spark)
+            t0 = time.time()
+            cta_op(c, ent, ms_udf, closure).count()
+            out.append(time.time() - t0)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    return out[0], out[1]
+
+
 BENCH_QUERIES = [
     "pricing_summary",
     "order_revenue_topk",
@@ -218,6 +304,10 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
     timings["candidates_uniform"] = round(sec_u, 3)
     timings["candidates_skew"] = round(sec_s, 3)
 
+    v_u, v_s = run_vote_skew(spark)
+    timings["votes_uniform"] = round(v_u, 3)
+    timings["votes_skew"] = round(v_s, 3)
+
     total = round(time.time() - t0, 3)
     out = {
         "metric": "bench_wall_sec",
@@ -229,6 +319,7 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
         "kg_triples_per_sec": round(n_triples / kg_sec, 1),
         "master": master,
         "skew_ratio": round(sec_s / sec_u, 3),
+        "vote_skew_ratio": round(v_s / v_u, 3),
     }
     spark.stop()
     return out

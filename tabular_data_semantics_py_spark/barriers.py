@@ -54,8 +54,14 @@ BARRIER_TIMES: list[tuple[str, float]] = []
 
 
 def _scratch_dir(spark: SparkSession) -> str:
+    # same tmpfs-preferring root as spark.local.dir (session.py
+    # scratch_root): barrier parquet is stage I/O, and on this
+    # single-disk box the disk is a fixed pipe that would not widen
+    # with cores the way a real cluster's disk pool does
+    from .session import scratch_root
+
     app_id = spark.sparkContext.applicationId
-    return os.path.join(tempfile.gettempdir(), f"tds_stage_{app_id}")
+    return os.path.join(scratch_root(), f"tds_stage_{app_id}")
 
 
 def _register_cleanup(path: str) -> None:

@@ -1694,13 +1694,44 @@ def doc_simhash_pairs(spark, sf_dir):
     return simhash_pairs(_load(spark, sf_dir, "documents"), max_hamming=3)
 
 
-@q("media_meta")
+_MEDIA_META_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         octet_length(encode(text))::INT AS n_bytes,
+         sha256(text) AS sha
+  FROM documents
+), b AS (
+  SELECT *,
+         ('0x' || substr(sha, 1, 2))::INT AS b0,
+         ('0x' || substr(sha, 3, 2))::INT AS b1,
+         ('0x' || substr(sha, 5, 2))::INT AS b2,
+         ('0x' || substr(sha, 7, 2))::INT AS b3
+  FROM p
+)
+SELECT doc_id, media_type, n_bytes, sha,
+       (64 + b0 % 192)::INT AS width,
+       (64 + b1 % 192)::INT AS height,
+       (CASE WHEN media_type = 'image' THEN 0
+             ELSE b2 * 256 + b3 END)::INT AS duration_ms
+FROM b
+"""
+
+
+@q("media_meta", lambda: _MEDIA_META_SQL)
 def media_meta(spark, sf_dir):
     """Multimodal binary-column plumbing: synth payloads + mapInPandas
     metadata extraction (decode stubbed, see operators/multimodal.py)."""
     from .operators.multimodal import extract_media_meta, synth_media
 
-    return extract_media_meta(synth_media(_load(spark, sf_dir, "documents")))
+    # synth payloads are text bytes, not real images — force the
+    # deterministic stub so the query's output is environment-
+    # independent (decode='auto' would NULL the dims wherever PIL
+    # happens to be installed, since PIL can't open fake payloads)
+    return extract_media_meta(
+        synth_media(_load(spark, sf_dir, "documents")), decode="stub"
+    )
 
 
 @q("emb_ivf_knn")

@@ -64,10 +64,6 @@ def _cea_scored(
     # phase-1 argmax as a hash aggregate (min_by over a struct whose
     # lexicographic order encodes (score desc, popularity desc, uri
     # asc)) — map-side partial agg instead of a sort-based window.
-    # Lazy: both consumers (votes via prelim_cu, col_n) live inside
-    # the same downstream action, and the duplicated agg shares its
-    # exchange via ReuseExchange — an eager checkpoint here only adds
-    # a sequential driver action
     prelim = linked.groupBy(*_CELL_KEY).agg(
         F.min_by(
             "uri",
@@ -78,6 +74,18 @@ def _cea_scored(
             ),
         ).alias("uri")
     )  # consumed by votes and col_n
+    if not fused:
+        # Materialized, NOT left to ReuseExchange: both consumers end
+        # up as broadcast dims of the final join, and each broadcast
+        # exchange runs as its own subjob on a separate scheduler
+        # thread. Whether those subjobs REUSE the prelim shuffle or
+        # RE-EXECUTE the whole linked-scan+agg subtree is a race
+        # against the main plan's materialization order — event-log
+        # profiling caught the losing side re-running it at 18× the
+        # CPU (267 vs 15 task-CPU-s for the same job, local[8] sf2.5)
+        # on roughly half the runs. A slim fact-scale parquet barrier
+        # makes the plan deterministic: the agg runs exactly once.
+        prelim = parquet_barrier(prelim, "cea_prelim")
 
     # type votes and the per-candidate best vote depend only on
     # (table_id, col, uri) — dedup-then-join-back (A10) before the
@@ -116,6 +124,13 @@ def _cea_scored(
         .groupBy("table_id", "col", "uri")
         .agg(F.max(F.coalesce(F.col("votes"), F.lit(0))).alias("max_votes"))
     )
+    if not fused:
+        # same race as prelim (see above): cu_votes broadcasts into
+        # the final join, and its subtree (linked dedup + types
+        # explode) is the CPU-fattest thing in the cea action — the
+        # one thing we never want a broadcast thread to silently
+        # re-execute. Small output, one eager write.
+        cu_votes = parquet_barrier(cu_votes, "cea_cu_votes")
     # linked is unique per (cell, uri) — candidates are deduped by
     # (mention, uri) upstream — so the join-back reproduces exactly the
     # per-(cell, candidate) rows of the direct explode formulation

@@ -60,16 +60,65 @@ def _decode_stub(media_type: str, payload: bytes) -> tuple[int, int, int]:
     return width, height, duration
 
 
-def extract_media_meta(media: DataFrame) -> DataFrame:
+def real_image_decoder():
+    """PIL-backed image decode, or None when PIL is not importable.
+
+    Resolved ON THE EXECUTOR (inside the mapInPandas closure), once
+    per Python worker, so a cluster where the imaging library is
+    installed picks it up with no code change and a cluster without it
+    keeps the deterministic stub. A payload PIL cannot open (corrupt
+    or mislabeled bytes) yields NULL dimensions instead of failing the
+    task — the skip-don't-fail policy the csv parser applies to
+    malformed rows (tabular2rdf.py:213-215).
+    """
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def decode(payload: bytes) -> tuple[int | None, int | None, int | None]:
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                return im.width, im.height, 0
+        except Exception:
+            return None, None, None
+
+    return decode
+
+
+def _row_decoder(decode: str):
+    """The per-row (media_type, payload) -> (w, h, duration_ms)
+    dispatch used by extract_media_meta's worker closure."""
+    image_real = real_image_decoder() if decode == "auto" else None
+
+    def one(mt: str, payload: bytes):
+        if mt == "image" and image_real is not None:
+            return image_real(payload)
+        return _decode_stub(mt, payload)
+
+    return one
+
+
+def extract_media_meta(media: DataFrame, decode: str = "auto") -> DataFrame:
     """mapInPandas feature extraction over binary payloads — one Arrow
-    batch per call, decode loop in Python, everything else columnar."""
+    batch per call, decode loop in Python, everything else columnar.
+
+    ``decode='auto'`` uses a real decoder for any modality whose
+    library imports on the executor (currently PIL for images) and the
+    deterministic stub otherwise; ``decode='stub'`` forces the stub
+    everywhere (tests and benchmarks, so outputs are identical across
+    environments).
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        one = _row_decoder(decode)
         for pdf in batches:
             if not len(pdf):
                 continue
             metas = [
-                _decode_stub(mt, bytes(p))
+                one(mt, bytes(p))
                 for mt, p in zip(pdf["media_type"], pdf["payload"])
             ]
             yield pd.DataFrame(

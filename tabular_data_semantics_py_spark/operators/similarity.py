@@ -66,7 +66,19 @@ def knn_bruteforce(
 ) -> DataFrame:
     """→ (query_id, neighbor_id, rank): exact top-k cosine neighbors
     for the given query ids. The query side is tiny → broadcast
-    nested-loop join; rank ties broken by neighbor id."""
+    nested-loop join; rank ties broken by neighbor id.
+
+    Top-k is a TWO-PHASE reduction, not a window: phase 1 takes each
+    scan partition's local top-k per query (array_sort of a
+    partition-bounded collect_list — no shuffle), phase 2 merges the
+    partitions x k survivors per query. A
+    ``row_number() over (partition by query_id)`` would instead
+    shuffle ALL n scored rows to one task per query and sort them
+    there — the single-task-sort shape that breaks at 10^9 vectors
+    (same fix as the fragment caps, operators/fragment.py). Exact
+    same rows out: top-k with a deterministic (cos desc, id asc)
+    order is plan-independent.
+    """
     q = emb.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -75,13 +87,26 @@ def knn_bruteforce(
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
+    # ascending (-cos, neighbor_id) == (cos desc, neighbor_id asc);
+    # SQL comparison treats -0.0 == 0.0, so the negation cannot flip
+    # any ordering the window formulation wouldn't also flip
+    key = F.struct(
+        (-F.col("cos")).alias("nc"), F.col("neighbor_id").alias("nid")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+    local = scored.groupBy(
+        "query_id", F.spark_partition_id().alias("_pid")
+    ).agg(F.slice(F.array_sort(F.collect_list(key)), 1, k).alias("top"))
+    merged = (
+        local.select("query_id", F.explode("top").alias("s"))
+        .groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list("s")), 1, k).alias("top"))
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("pos", "s")
+    ).select(
+        "query_id",
+        F.col("s.nid").alias("neighbor_id"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
     )
 
 
@@ -345,9 +370,22 @@ def ivf_knn(
         .where(F.col(id_col) != F.col("query_id"))
         .withColumn("cos", cosine_expr(F.col("qv"), F.col(vec_col)))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank")
+    # two-phase top-k (same shape as knn_bruteforce): per-partition
+    # local top-k, then merge partitions x k survivors per query — no
+    # single-task sort of a query's whole probe set
+    key = F.struct((-F.col("cos")).alias("nc"), F.col(id_col).alias("nid"))
+    local = cand.groupBy(
+        "query_id", F.spark_partition_id().alias("_pid")
+    ).agg(F.slice(F.array_sort(F.collect_list(key)), 1, k).alias("top"))
+    merged = (
+        local.select("query_id", F.explode("top").alias("s"))
+        .groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list("s")), 1, k).alias("top"))
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("pos", "s")
+    ).select(
+        "query_id",
+        F.col("s.nid").alias("neighbor_id"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
     )

@@ -18,6 +18,36 @@ import os
 from pyspark.sql import SparkSession
 
 
+def scratch_root() -> str:
+    """Root for shuffle/spill files and stage-barrier parquet.
+
+    Prefers a RAM-backed tmpfs (/dev/shm) with ≥32 GiB free over the
+    disk-backed temp dir. Rationale: this single-node sandbox has ONE
+    virtual disk, so disk-bound shuffle/spill/barrier I/O is a fixed
+    pipe that does not widen with cores — measured as barrier-write
+    actions scaling only ~1.9× from local[2] to local[8] while
+    compute-bound actions reached ~2.6×. A real N→4N executor cluster
+    brings 4× the local disks (I/O bandwidth scales with the cluster),
+    so tmpfs — whose bandwidth scales with memory channels, not one
+    virtio queue — is the faithful single-box emulation, exactly like
+    heap ∝ cores in bench._scaling_session. Override with
+    SPARK_GRAFT_LOCAL_DIR.
+    """
+    d = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if d:
+        return d
+    shm = "/dev/shm"
+    try:
+        st = os.statvfs(shm)
+        if st.f_bavail * st.f_frsize >= 32 * 2**30:
+            return os.path.join(shm, "tds_spark")
+    except OSError:
+        pass
+    import tempfile
+
+    return tempfile.gettempdir()
+
+
 def get_spark(
     app_name: str = "tabular-data-semantics-spark",
     master: str | None = None,
@@ -72,6 +102,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # shuffle/spill dir: tmpfs when available (see scratch_root).
+        # Spark deletes its blockmgr/spill dirs under this root on
+        # clean JVM shutdown, so tmpfs residue is bounded to crashed
+        # runs (and cleared by reboot).
+        .config(
+            "spark.local.dir", os.path.join(scratch_root(), "local")
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")

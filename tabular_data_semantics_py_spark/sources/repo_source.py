@@ -306,6 +306,8 @@ def load_or_build_corpus_dfs(
 
     from ..fixtures.generator import make_corpus
 
+    from .catalog import read_source_table
+
     root = corpus_parquet_dir(n_tables, entities_per_class, seed)
     if not os.path.exists(os.path.join(root, "_DONE")):
         corpus = make_corpus(
@@ -313,8 +315,11 @@ def load_or_build_corpus_dfs(
             seed=seed,
         )
         _write_corpus_parquet(corpus, root)
+    # catalog-first resolution (sources/catalog.py): with an Iceberg
+    # catalog configured these names resolve through it; in the
+    # sandbox they fall back to the fixture parquet written above
     return {
-        name: spark.read.parquet(os.path.join(root, f"{name}.parquet"))
+        name: read_source_table(spark, name, parquet_root=root)
         for name in _CORPUS_TABLE_NAMES
     }
 
