@@ -236,9 +236,45 @@ def run_pipeline(
         cells_m_holder["cells_m"] = cm
         return cm, cand
 
-    res.stages["candidates"] = ck.stage(
-        "candidates", lambda: _gen_candidates()[1]
-    )
+    # entity_types depends only on closure + the corpus dims — not on
+    # the cells/candidates chain. In fused (no-checkpoint) mode its
+    # eager barrier is submitted on a SECOND driver thread so its jobs
+    # interleave with the cells→candidates→cells_m actions: the
+    # scheduler backfills cores that a single stage's tail would leave
+    # idle. This cuts the sequential-action floor (the dominant term in
+    # the N→4N scaling gap at bench scale) without changing any plan —
+    # on a real cluster these are just two concurrently-submitted job
+    # groups. Checkpointed runs stay sequential: stage order in the
+    # manifest is part of the resume contract.
+    et_future = None
+    if (
+        checkpoint_dir is None
+        and not upto("entity_types")
+        and os.environ.get("TDS_NO_CONCURRENT_STAGES") != "1"
+    ):
+        from concurrent.futures import ThreadPoolExecutor
+
+        closure_df = res.stages["closure"]
+        closure_map = closure_to_map(closure_df)
+        _et_pool = ThreadPoolExecutor(max_workers=1)
+        et_future = _et_pool.submit(
+            ck.stage,
+            "entity_types",
+            lambda: build_entity_types(
+                dfs["entity_index"], dfs["kg_triples"], dfs["property_meta"],
+                closure_df, closure_map,
+            ),
+        )
+        _et_pool.shutdown(wait=False)
+
+    try:
+        res.stages["candidates"] = ck.stage(
+            "candidates", lambda: _gen_candidates()[1]
+        )
+    except BaseException:
+        if et_future is not None:
+            et_future.cancel()
+        raise
     if upto("cells_m"):
         ck.finish()
         return res
@@ -258,18 +294,22 @@ def run_pipeline(
     )
     cells_m = res.stages["cells_m"]
 
-    closure_map = closure_to_map(res.stages["closure"])
+    if et_future is None:
+        closure_map = closure_to_map(res.stages["closure"])
 
     if upto("entity_types"):
         ck.finish()
         return res
-    res.stages["entity_types"] = ck.stage(
-        "entity_types",
-        lambda: build_entity_types(
-            dfs["entity_index"], dfs["kg_triples"], dfs["property_meta"],
-            res.stages["closure"], closure_map,
-        ),
-    )
+    if et_future is not None:
+        res.stages["entity_types"] = et_future.result()
+    else:
+        res.stages["entity_types"] = ck.stage(
+            "entity_types",
+            lambda: build_entity_types(
+                dfs["entity_index"], dfs["kg_triples"], dfs["property_meta"],
+                res.stages["closure"], closure_map,
+            ),
+        )
     if upto("cea"):
         ck.finish()
         return res
