@@ -325,6 +325,35 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
     return out
 
 
+_PROBE_STATE: dict = {}
+
+
+def ambient_probe(best_of: int = 3) -> float:
+    """Fixed single-threaded random-gather memory probe (~0.1-0.2 s in
+    a quiet window). Its wall time inflates 1.5-4x when co-tenant VMs
+    contend for the host's shared LLC / memory bandwidth — the dominant
+    noise source on this box, and one that is INVISIBLE to guest steal
+    accounting (/proc/stat steal stays 0 while identical JVM agg jobs
+    swing 4x in CPU; diagnosed round 3, see ROUND_NOTES.md). The
+    scaling protocol runs the probe around every timed rep, uses it to
+    annotate measurements, and retries reps taken in bad weather."""
+    import numpy as np
+
+    if "buf" not in _PROBE_STATE:
+        rng = np.random.default_rng(7)
+        _PROBE_STATE["buf"] = rng.integers(
+            0, 2**31, size=1 << 25, dtype=np.int64
+        )  # 256 MiB: far past any LLC
+        _PROBE_STATE["idx"] = rng.integers(0, 1 << 25, size=1 << 22)
+    buf, idx = _PROBE_STATE["buf"], _PROBE_STATE["idx"]
+    best = float("inf")
+    for _ in range(best_of):
+        t0 = time.perf_counter()
+        buf[idx].sum()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _scaling_session(p: int, high: int):
     from tabular_data_semantics_py_spark.session import get_spark
 
@@ -394,9 +423,11 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
 
     jobs = os.environ.get("SPARK_GRAFT_SCALING_JOBS", "knn_similarity,kg_pipeline").split(",")
     sf = _sf_of(sf_dir)
-    best: dict[str, dict[int, float]] = {j: {} for j in jobs}
+    # per (job, p): list of (wall_sec, weather_probe_sec)
+    samples: dict[str, dict[int, list]] = {j: {low: [], high: []} for j in jobs}
     counts: dict[str, int] = {}
-    for _rep in range(reps):
+
+    def one_pass() -> None:
         for p in (low, high):
             spark = _scaling_session(p, high)
             if "kg_pipeline" in jobs:
@@ -413,10 +444,11 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
                 # steady-state: the first full-scale run in a fresh
                 # session pays one-time JIT/codegen unrelated to
                 # parallelism — time the best of 2 in-session runs
+                w0 = ambient_probe()
                 sec, n = run_kg_pipeline(spark, kg_sf, reps=2)
+                w1 = ambient_probe()
                 counts["kg_pipeline"] = n
-                cur = best["kg_pipeline"].get(p)
-                best["kg_pipeline"][p] = min(sec, cur) if cur else sec
+                samples["kg_pipeline"][p].append((sec, max(w0, w1)))
 
             if "knn_similarity" in jobs:
                 emb = (
@@ -425,13 +457,49 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
                     .localCheckpoint()
                 )
                 knn_bruteforce(emb, list(range(10)), k=3).count()  # warm
+                w0 = ambient_probe()
                 t0 = time.time()
                 nk = knn_bruteforce(emb, list(range(2000)), k=10).count()
                 sec = time.time() - t0
+                w1 = ambient_probe()
                 counts["knn_similarity"] = nk
-                cur = best["knn_similarity"].get(p)
-                best["knn_similarity"][p] = min(sec, cur) if cur else sec
+                samples["knn_similarity"][p].append((sec, max(w0, w1)))
             spark.stop()
+
+    for _rep in range(reps):
+        one_pass()
+
+    def quality() -> tuple[float, float]:
+        """(worst weather ratio at any best-wall rep, min probe)."""
+        mn = min(w for j in samples for p in samples[j]
+                 for _, w in samples[j][p])
+        worst = max(
+            min(samples[j][p], key=lambda t: t[0])[1] / mn
+            for j in samples for p in samples[j]
+        )
+        return worst, mn
+
+    # bad-weather retry: the probe tells us when a rep ran against
+    # co-tenant memory contention; a best-wall rep taken at >1.3x the
+    # quiet-window probe is not a measurement of OUR scaling, so run
+    # extra interleaved passes (bounded) until every recorded best is
+    # from acceptable weather.
+    extra = 0
+    while extra < 2 and quality()[0] > 1.3:
+        one_pass()
+        extra += 1
+
+    best = {
+        j: {p: min(samples[j][p], key=lambda t: t[0])[0]
+            for p in samples[j]}
+        for j in jobs
+    }
+    weather_at_best = {
+        j: {p: min(samples[j][p], key=lambda t: t[0])[1]
+            for p in samples[j]}
+        for j in jobs
+    }
+    worst_ratio, min_probe = quality()
 
     ideal = high / low
     eff = {}
@@ -456,6 +524,12 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
             "rows": counts[job],
             "efficiency": eff[job],
             "low": low, "high": high,
+            "weather_ratio": {
+                str(p): round(weather_at_best[job][p] / min_probe, 2)
+                for p in weather_at_best[job]
+            },
+            "min_probe_sec": round(min_probe, 4),
+            "passes": reps + extra,
         }
     json.dump(state, open(state_path, "w"), indent=1)
     best = {
@@ -463,22 +537,33 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
     }
     counts = {j: v["rows"] for j, v in state.items()}
     eff = {j: v["efficiency"] for j, v in state.items()}
+    weather = {
+        j: v.get("weather_ratio", {}) for j, v in state.items()
+    }
     with open(REPO / "BENCH" / "BASELINE.md", "w") as f:
         f.write(
             "# BENCH baseline — scaling protocol (BASELINE.md)\n\n"
             f"Same jobs, same input, parallelism local[{low}] vs "
-            f"local[{high}] (N vs 4N cores), best of {reps} interleaved "
-            f"reps. Host load avg during run: {' '.join(load)} (shared "
-            "machine; interleaving + best-of controls for neighbor "
-            "noise).\n\n"
+            f"local[{high}] (N vs 4N cores), best of interleaved reps "
+            f"({reps} planned + bad-weather retries). Host load avg "
+            f"during run: {' '.join(load)}.\n\n"
+            "Weather = ambient co-tenant memory-contention probe "
+            "(bench.ambient_probe) at the recorded rep, as a ratio to "
+            "the quiet-window probe; reps are retried until every "
+            "recorded best is from weather <= 1.3 (or the retry budget "
+            "is exhausted). Guest steal stays 0 during contention, so "
+            "load avg alone cannot gate this (ROUND_NOTES.md r3).\n\n"
             "| job | local[%d] wall (s) | local[%d] wall (s) | rows | "
-            "efficiency (thr%d/thr%d)/%d |\n|---|---|---|---|---|\n"
+            "efficiency (thr%d/thr%d)/%d | weather lo/hi |\n"
+            "|---|---|---|---|---|---|\n"
             % (low, high, high, low, int(ideal))
         )
         for job, times in best.items():
+            w = weather.get(job, {})
             f.write(
                 f"| {job} | {times[low]:.1f} | {times[high]:.1f} | "
-                f"{counts[job]} | **{eff[job]:.3f}** |\n"
+                f"{counts[job]} | **{eff[job]:.3f}** | "
+                f"{w.get(str(low), '?')}/{w.get(str(high), '?')} |\n"
             )
         f.write(
             "\n- `knn_similarity` (compute-bound, whole-stage-codegen "

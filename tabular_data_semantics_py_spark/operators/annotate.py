@@ -100,8 +100,23 @@ def _cea_scored(
     # shuffle join at index scale (10^8 rows). A stats-free
     # localCheckpoint here once inverted the choice — Catalyst
     # broadcast the 1.07M-row fact side and streamed the checkpoint's
-    # single partition, serializing the whole explode chain
-    et = entity_types
+    # single partition, serializing the whole explode chain.
+    #
+    # The vote computation never needs the type STRING — only
+    # per-(column, type) counts and a per-candidate max over them — so
+    # the closure-expanded type arrays (10-20 long ontology URIs per
+    # entity) are hash-encoded to int64 before the two explodes. The
+    # explode→shuffle→hash-agg chain is the CPU-fattest JVM stage of
+    # the whole pipeline (event-log profiled: ~40% of cea CPU at the
+    # sf2.5 scaling corpus); keying it on 8-byte longs instead of
+    # ~45-byte strings cuts shuffle bytes and hash/compare cost
+    # several-fold. xxhash64 collisions across distinct type URIs
+    # (which would merge two types' vote counts) need ~2^32 distinct
+    # types to reach even 50% probability — real ontologies have 10³.
+    et = entity_types.select(
+        "uri",
+        F.transform("types", lambda c: F.xxhash64(c)).alias("types"),
+    )
     votes = (
         prelim_cu.join(et, "uri")
         .select("table_id", "col", "n", F.explode("types").alias("t"))

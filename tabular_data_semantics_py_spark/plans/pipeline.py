@@ -246,7 +246,7 @@ def run_pipeline(
     # on a real cluster these are just two concurrently-submitted job
     # groups. Checkpointed runs stay sequential: stage order in the
     # manifest is part of the resume contract.
-    et_future = None
+    et_future = cand_future = None
     if (
         checkpoint_dir is None
         and not upto("entity_types")
@@ -256,8 +256,9 @@ def run_pipeline(
 
         closure_df = res.stages["closure"]
         closure_map = closure_to_map(closure_df)
-        _et_pool = ThreadPoolExecutor(max_workers=1)
-        et_future = _et_pool.submit(
+        cm_lazy, cand_lazy = _gen_candidates()  # writes mention_bridge
+        _pool = ThreadPoolExecutor(max_workers=2)
+        et_future = _pool.submit(
             ck.stage,
             "entity_types",
             lambda: build_entity_types(
@@ -265,33 +266,46 @@ def run_pipeline(
                 closure_df, closure_map,
             ),
         )
-        _et_pool.shutdown(wait=False)
-
-    try:
+        # candidates materialized eagerly HERE (it is lazy in the
+        # sequential fused path): the fuzzy-scoring subtree is
+        # Python-worker-bound while cells_m's prenorm+bridge join is
+        # JVM-shuffle-bound — run on separate driver threads they
+        # overlap on complementary resources instead of executing
+        # back-to-back inside cea_linked's write.
+        cand_future = _pool.submit(
+            ck.stage, "candidates",
+            lambda: parquet_barrier(cand_lazy, "candidates"),
+        )
+        _pool.shutdown(wait=False)
+        try:
+            res.stages["cells_m"] = ck.stage("cells_m", lambda: cm_lazy)
+        except BaseException:
+            et_future.cancel()
+            cand_future.cancel()
+            raise
+        res.stages["candidates"] = cand_future.result()
+    else:
         res.stages["candidates"] = ck.stage(
             "candidates", lambda: _gen_candidates()[1]
         )
-    except BaseException:
-        if et_future is not None:
-            et_future.cancel()
-        raise
-    if upto("cells_m"):
-        ck.finish()
-        return res
-    # cells + mention_norm, consumed by CEA here and by the fragment
-    # query — a first-class resumable stage: a resumed run reads the
-    # checkpoint instead of re-running the bridge normalization
-    # subtree (VERDICT r02 #6). In no-checkpoint modes it is eagerly
-    # materialized for the same reason: the subtree re-scans the full
-    # cell table through the prenorm expressions and the bridge join,
-    # which would otherwise execute once per consumer (measured
-    # ~25-30 s CPU duplicated at the sf2.5 scaling corpus).
-    res.stages["cells_m"] = ck.stage(
-        "cells_m",
-        lambda: cells_m_holder.get("cells_m")
-        if "cells_m" in cells_m_holder
-        else _gen_candidates()[0],
-    )
+        if upto("cells_m"):
+            ck.finish()
+            return res
+        # cells + mention_norm, consumed by CEA here and by the
+        # fragment query — a first-class resumable stage: a resumed
+        # run reads the checkpoint instead of re-running the bridge
+        # normalization subtree (VERDICT r02 #6). In no-checkpoint
+        # modes it is eagerly materialized for the same reason: the
+        # subtree re-scans the full cell table through the prenorm
+        # expressions and the bridge join, which would otherwise
+        # execute once per consumer (measured ~25-30 s CPU duplicated
+        # at the sf2.5 scaling corpus).
+        res.stages["cells_m"] = ck.stage(
+            "cells_m",
+            lambda: cells_m_holder.get("cells_m")
+            if "cells_m" in cells_m_holder
+            else _gen_candidates()[0],
+        )
     cells_m = res.stages["cells_m"]
 
     if et_future is None:
