@@ -197,6 +197,37 @@ def run_pipeline(
         ck.finish()
         return res
 
+    # entity_types depends only on closure + the corpus dims — not on
+    # the cells/candidates chain. In fused (no-checkpoint) mode its
+    # eager barrier is submitted on a pool driver thread HERE, before
+    # the cells parse, so its jobs interleave with the whole
+    # cells→bridge→candidates→cells_m front half: the scheduler
+    # backfills cores that single-stage tails leave idle. This cuts
+    # the sequential-action floor (the dominant term in the N→4N
+    # scaling gap at bench scale) without changing any plan — on a
+    # real cluster these are just concurrently-submitted job groups.
+    # Checkpointed runs stay sequential: stage order in the manifest
+    # is part of the resume contract.
+    et_future = cand_future = _pool = None
+    if (
+        checkpoint_dir is None
+        and not upto("entity_types")
+        and os.environ.get("TDS_NO_CONCURRENT_STAGES") != "1"
+    ):
+        from concurrent.futures import ThreadPoolExecutor
+
+        closure_df = res.stages["closure"]
+        closure_map = closure_to_map(closure_df)
+        _pool = ThreadPoolExecutor(max_workers=2)
+        et_future = _pool.submit(
+            ck.stage,
+            "entity_types",
+            lambda: build_entity_types(
+                dfs["entity_index"], dfs["kg_triples"], dfs["property_meta"],
+                closure_df, closure_map,
+            ),
+        )
+
     # per-row content-sha integrity (BASELINE.json input_hint
     # invariant): every (path, content_sha) seen in cells must equal
     # the sha2 of the source row's content. Folded into the cells
@@ -236,36 +267,8 @@ def run_pipeline(
         cells_m_holder["cells_m"] = cm
         return cm, cand
 
-    # entity_types depends only on closure + the corpus dims — not on
-    # the cells/candidates chain. In fused (no-checkpoint) mode its
-    # eager barrier is submitted on a SECOND driver thread so its jobs
-    # interleave with the cells→candidates→cells_m actions: the
-    # scheduler backfills cores that a single stage's tail would leave
-    # idle. This cuts the sequential-action floor (the dominant term in
-    # the N→4N scaling gap at bench scale) without changing any plan —
-    # on a real cluster these are just two concurrently-submitted job
-    # groups. Checkpointed runs stay sequential: stage order in the
-    # manifest is part of the resume contract.
-    et_future = cand_future = None
-    if (
-        checkpoint_dir is None
-        and not upto("entity_types")
-        and os.environ.get("TDS_NO_CONCURRENT_STAGES") != "1"
-    ):
-        from concurrent.futures import ThreadPoolExecutor
-
-        closure_df = res.stages["closure"]
-        closure_map = closure_to_map(closure_df)
+    if _pool is not None:
         cm_lazy, cand_lazy = _gen_candidates()  # writes mention_bridge
-        _pool = ThreadPoolExecutor(max_workers=2)
-        et_future = _pool.submit(
-            ck.stage,
-            "entity_types",
-            lambda: build_entity_types(
-                dfs["entity_index"], dfs["kg_triples"], dfs["property_meta"],
-                closure_df, closure_map,
-            ),
-        )
         # candidates materialized eagerly HERE (it is lazy in the
         # sequential fused path): the fuzzy-scoring subtree is
         # Python-worker-bound while cells_m's prenorm+bridge join is
