@@ -45,14 +45,14 @@ def main() -> None:
         bench._gc(spark, unpersist=True)
         dfs = load_or_build_corpus_dfs(spark, n_tables, epc)
         barriers.BARRIER_TIMES.clear()
-        w0 = bench.ambient_probe()
-        t0 = time.time()
-        res = run_pipeline(spark, dfs)
-        t_plan = time.time() - t0
-        t1 = time.time()
-        n = res.stages["triples"].count()
-        t_count = time.time() - t1
-        total = time.time() - t0
+        with bench.weather_monitor() as wm:
+            t0 = time.time()
+            res = run_pipeline(spark, dfs)
+            t_plan = time.time() - t0
+            t1 = time.time()
+            n = res.stages["triples"].count()
+            t_count = time.time() - t1
+            total = time.time() - t0
         bt = list(barriers.BARRIER_TIMES)
         out.append(
             {
@@ -66,8 +66,8 @@ def main() -> None:
                 "barrier_sum_sec": round(sum(v for _, v in bt), 2),
                 "other_sec": round(t_plan - sum(v for _, v in bt), 2),
                 "triples": n,
-                "weather_probe_sec": [round(w0, 4),
-                                      round(bench.ambient_probe(), 4)],
+                "weather_probe_sec": [round(min(wm.samples), 4),
+                                      round(wm.worst, 4)],
             }
         )
         print(json.dumps(out[-1]))

@@ -135,7 +135,15 @@ def _cea_scored(
         .select(
             "table_id", "col", "uri", F.explode_outer("types").alias("t")
         )
-        .join(votes, ["table_id", "col", "t"], "left")
+        # votes is (table, col, type)-scale — it grows with the corpus
+        # and can never broadcast at the 10^12-file target, and the
+        # probe side here is the exploded type fact (the widest
+        # intermediate of the pipeline). shuffle_hash pins the
+        # scale-correct plan: hash-join with votes as build side, no
+        # sort of the exploded side (the static planner's stats for
+        # this computed subtree are estimates and flipped this to a
+        # sort-merge join between fixture scales).
+        .join(votes.hint("shuffle_hash"), ["table_id", "col", "t"], "left")
         .groupBy("table_id", "col", "uri")
         .agg(F.max(F.coalesce(F.col("votes"), F.lit(0))).alias("max_votes"))
     )

@@ -77,17 +77,16 @@ def get_spark(
         # NOT a substitute here — a user-specified distribution on a
         # join input disables broadcasting that side.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
-        # AQE coalesce target. The 64m default packs a post-shuffle
-        # stage into ~cores tasks (e.g. 10 tasks on 8 cores), so the
-        # stage runs as 2 ragged waves and the second wave idles most
-        # cores — measured 2.1× instead of 4× on the CEA join stage.
-        # 16m gives 4× the tasks: full waves + a shorter skew tail.
-        # At real scale the advisory target is a per-cluster tuning
-        # knob; 16m keeps local-mode stages granular without task-
-        # launch overhead dominating (tasks stay ≥100ms).
+        # AQE coalesce target: Spark's 64m default, env-overridable.
+        # (A 16m override shipped briefly in r3 on the theory that
+        # finer tasks fix ragged waves; the measurements behind it
+        # were taken under co-tenant memory contention — see
+        # ROUND_NOTES r3 weather — and clean-weather reruns show 64m
+        # equal or better across the pipeline. At real scale this is
+        # a per-cluster tuning knob.)
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "16m"),
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
         )
         # file-scan analogue of the floor above: maxSplitBytes =
         # min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism)),
@@ -102,6 +101,23 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Xms=Xmx + AlwaysPreTouch: fault the whole heap in at session
+        # startup, BEFORE any timed work. This host intermittently
+        # serves first-touch page faults ~1000x slow (host-side memory
+        # pressure, ROUND_NOTES r3); without pre-touch, heap growth
+        # lands mid-job and the same pipeline swings 4-10x between
+        # reps. On a real cluster this is the standard
+        # latency-stabilization flag; the startup cost is paid once
+        # per executor. Disable with SPARK_GRAFT_NO_PRETOUCH=1.
+        .config(
+            "spark.driver.extraJavaOptions",
+            ""
+            if os.environ.get("SPARK_GRAFT_NO_PRETOUCH") == "1"
+            else (
+                f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '8g')} "
+                "-XX:+AlwaysPreTouch"
+            ),
+        )
         # shuffle/spill dir: tmpfs when available (see scratch_root).
         # Spark deletes its blockmgr/spill dirs under this root on
         # clean JVM shutdown, so tmpfs residue is bounded to crashed
