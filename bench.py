@@ -670,7 +670,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if "--scaling" in sys.argv:
-        run_scaling(sf_dir)
+        run_scaling(
+            sf_dir, reps=int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+        )
         return
     out = run_bench(sf_dir, master=f"local[{cpus}]")
     print(json.dumps(out))

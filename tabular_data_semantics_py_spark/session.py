@@ -96,6 +96,18 @@ def get_spark(
         # splits data-proportional; genuinely big scans still cap at
         # maxPartitionBytes (128m), so the 100 TB regime is unchanged.
         .config("spark.sql.files.openCostInBytes", "65536")
+        # File-scan split count follows the DATA, not the core count:
+        # maxSplitBytes = min(maxPartitionBytes, max(openCost,
+        # bytes/minPartitionNum)), and minPartitionNum defaults to
+        # defaultParallelism — which makes every stage rooted at a
+        # parquet stage-barrier scan open with ~cores splits, i.e.
+        # ~1.2 ragged waves at any cluster size (event-log profiled:
+        # 9-10-task scan stages at local[8] vs 4 at local[2] on the
+        # same barrier — a uniform ~2.5x instead of 4x N→4N speedup
+        # across the whole pipeline). Pinning it to the shuffle width
+        # gives scan stages the same wave granularity as shuffle
+        # stages at both cluster sizes.
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
