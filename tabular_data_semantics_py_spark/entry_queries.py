@@ -128,8 +128,27 @@ def q(name: str, oracle: Callable[[], str] | None = None):
     return deco
 
 
+_LAST_SF_DIR: list[str] = []
+
+
 def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # Record the sf the driver actually drove so scalar-recomputation
+    # oracles (minhash signatures, simhash) rebuild over the SAME
+    # table — the contract gives oracle_sql() no sf argument.
+    _LAST_SF_DIR[:] = [sf_dir]
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _oracle_sf_dir() -> str:
+    """sf-dir for oracles that recompute scalar-side: explicit env
+    override > the sf_dir the driver last passed to a query > the
+    driver's correctness-gate default (sf0.01)."""
+    env = os.environ.get("TDS_ORACLE_SF_DIR")
+    if env:
+        return env
+    if _LAST_SF_DIR:
+        return _LAST_SF_DIR[0]
+    return "/root/testdata/sf0.01"
 
 
 # ===========================================================================
@@ -1585,7 +1604,7 @@ def _o_minhash_signatures():
 
     from .functions.xxh64 import spark_xxhash64
 
-    sf_dir = os.environ.get("TDS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    sf_dir = _oracle_sf_dir()
     con = duckdb.connect()
     docs = con.execute(
         "SELECT doc_id, text FROM "
@@ -1617,12 +1636,16 @@ def doc_minhash_signatures(spark, sf_dir):
 def _simhash_scalar_table():
     """Independent scalar SimHash recomputation over the oracle sf's
     documents (naive per-token bit loop — deliberately nothing like
-    the vectorized vocab-gather in operators/dedup.py). Token bit
-    rows are memoized (Zipf) to keep the oracle build fast."""
+    the vectorized segment-sum fold in operators/dedup.py). Token
+    hashes come from the pure-Python XXH64 mirror of Spark's
+    ``xxhash64`` (functions/xxh64.py, bit-exactness unit-tested), the
+    same function the JVM side applies. Token bit rows are memoized
+    (Zipf) to keep the oracle build fast."""
     import duckdb
-    import hashlib
 
-    sf_dir = os.environ.get("TDS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    from .functions.xxh64 import spark_xxhash64
+
+    sf_dir = _oracle_sf_dir()
     docs = duckdb.connect().execute(
         f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchall()
@@ -1630,9 +1653,7 @@ def _simhash_scalar_table():
 
     def bits_of(tok: str) -> list[int]:
         if tok not in bit_memo:
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-            )
+            h = spark_xxhash64(tok) & ((1 << 64) - 1)
             bit_memo[tok] = [1 if (h >> i) & 1 else -1 for i in range(64)]
         return bit_memo[tok]
 

@@ -113,9 +113,17 @@ def _cea_scored(
     # several-fold. xxhash64 collisions across distinct type URIs
     # (which would merge two types' vote counts) need ~2^32 distinct
     # types to reach even 50% probability — real ontologies have 10³.
+    # xxhash64(NULL) returns the seed (a concrete long), not NULL — a
+    # null element in `types` would suddenly MATCH across the votes
+    # join where the string key never did under SQL null equality.
+    # build_entity_types doesn't emit null elements today; drop them
+    # defensively so the hash encoding can never change semantics.
     et = entity_types.select(
         "uri",
-        F.transform("types", lambda c: F.xxhash64(c)).alias("types"),
+        F.transform(
+            F.filter("types", lambda c: c.isNotNull()),
+            lambda c: F.xxhash64(c),
+        ).alias("types"),
     )
     votes = (
         prelim_cu.join(et, "uri")

@@ -307,52 +307,50 @@ def simhash64(
     """→ (id, simhash): 64-bit SimHash over word tokens (hamming-close
     fingerprints ⇒ near-dups).
 
-    Vectorized over each Arrow batch's *distinct* tokens: every token
-    is blake2b-hashed and bit-expanded once per batch (real corpora
-    repeat tokens heavily — Zipf), then per-doc signatures are ±1
-    row-gathers + a sum. Majority rule: bit set iff ones*2 >= n_tokens
-    (ties set the bit), duplicates counted per occurrence.
+    Token hashing runs JVM-side (whole-stage-codegen ``xxhash64`` over
+    the split token array, mirroring ``minhash_signatures``) — the
+    Python stage only receives int64 arrays and does the bit
+    expansion, vectorized over each Arrow batch's *distinct* hashes
+    (real corpora repeat tokens heavily — Zipf) plus one cumulative
+    segment-sum for the per-doc fold. Majority rule: bit set iff
+    ones*2 >= n_tokens (ties set the bit), duplicates counted per
+    occurrence.
     """
     import numpy as np
-
-    def hash64(s: str) -> int:
-        import hashlib
-
-        return int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-        )
 
     shifts = np.arange(64, dtype=np.uint64)
 
     @pandas_udf(LongType())
-    def _simhash(texts: pd.Series) -> pd.Series:
-        tok_lists = [(t or "").split() for t in texts]
-        idx: dict[str, int] = {}
-        for toks in tok_lists:
-            for tok in toks:
-                if tok not in idx:
-                    idx[tok] = len(idx)
-        if idx:
-            hs = np.fromiter(
-                (hash64(t) for t in idx), dtype=np.uint64, count=len(idx)
-            )
-            # ±1 bit table: one row per distinct token
-            bit_tab = (
-                ((hs[:, None] >> shifts) & 1).astype(np.int32) * 2 - 1
-            )
-        out = []
-        for toks in tok_lists:
-            if not toks:
-                out.append(0)
-                continue
-            rows = np.fromiter(
-                (idx[t] for t in toks), dtype=np.int64, count=len(toks)
-            )
-            v = bit_tab[rows].sum(axis=0)
-            bits = (v >= 0).astype(np.uint64)  # == ones*2 >= n
-            out.append(int((bits << shifts).sum().astype(np.int64)))
+    def _fold(hash_lists: pd.Series) -> pd.Series:
+        n_docs = len(hash_lists)
+        lens = np.fromiter(
+            (len(h) for h in hash_lists), dtype=np.int64, count=n_docs
+        )
+        out = np.zeros(n_docs, dtype=np.int64)
+        total = int(lens.sum())
+        if total:
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in hash_lists if len(h)]
+            ).view(np.uint64)
+            uniq, inv = np.unique(flat, return_inverse=True)
+            # ±1 bit table: one row per distinct token hash
+            bit_tab = ((uniq[:, None] >> shifts) & 1).astype(np.int32) * 2 - 1
+            # per-doc fold as a cumulative-sum difference over segments
+            cs = np.zeros((total + 1, 64), dtype=np.int64)
+            np.cumsum(bit_tab[inv], axis=0, out=cs[1:])
+            ends = np.cumsum(lens)
+            seg = cs[ends] - cs[ends - lens]
+            bits = (seg >= 0).astype(np.uint64)  # == ones*2 >= n
+            vals = (bits << shifts).sum(axis=1).astype(np.int64)
+            nonempty = lens > 0
+            out[nonempty] = vals[nonempty]
         return pd.Series(out, dtype="int64")
 
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
     return docs.select(
-        F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash")
+        F.col(id_col).alias("id"), _fold(hashes).alias("simhash")
     )

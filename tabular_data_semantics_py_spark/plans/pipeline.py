@@ -211,6 +211,7 @@ def run_pipeline(
     et_future = cand_future = _pool = None
     if (
         checkpoint_dir is None
+        and materialize != "all"
         and not upto("entity_types")
         and os.environ.get("TDS_NO_CONCURRENT_STAGES") != "1"
     ):
@@ -247,86 +248,98 @@ def run_pipeline(
             .select(F.lit("sha_integrity").alias("metric"), "n")
         )
 
-    res.stages["cells"] = ck.stage(
-        "cells",
-        lambda: parse_cells(discover_csv_artifacts(dfs["source_repos"])),
-        extra_metric=_sha_integrity if checkpoint_dir is not None else None,
-    )
-    cells = res.stages["cells"]
+    def _abort_pool() -> None:
+        # A failure anywhere between et_future submission and its
+        # .result() must not leave the non-daemon worker thread
+        # running Spark jobs (interpreter exit would block on it):
+        # cancel whatever has not started and drop the queue.
+        # cancel() on an already-running future is best-effort, but
+        # shutdown(cancel_futures=True) guarantees nothing new starts.
+        for fut in (et_future, cand_future):
+            if fut is not None:
+                fut.cancel()
+        if _pool is not None:
+            _pool.shutdown(wait=False, cancel_futures=True)
 
-    if upto("candidates"):
-        ck.finish()
-        return res
-    data = cells.where(F.col("row") >= 0)
-    cells_m_holder: dict[str, DataFrame] = {}
+    try:
+        res.stages["cells"] = ck.stage(
+            "cells",
+            lambda: parse_cells(discover_csv_artifacts(dfs["source_repos"])),
+            extra_metric=_sha_integrity if checkpoint_dir is not None else None,
+        )
+        cells = res.stages["cells"]
 
-    def _gen_candidates() -> tuple[DataFrame, DataFrame]:
-        cm, cand = generate_candidates(
-            data, dfs["entity_index"], fused=cand_fused
-        )
-        cells_m_holder["cells_m"] = cm
-        return cm, cand
-
-    if _pool is not None:
-        cm_lazy, cand_lazy = _gen_candidates()  # writes mention_bridge
-        # candidates materialized eagerly HERE (it is lazy in the
-        # sequential fused path): the fuzzy-scoring subtree is
-        # Python-worker-bound while cells_m's prenorm+bridge join is
-        # JVM-shuffle-bound — run on separate driver threads they
-        # overlap on complementary resources instead of executing
-        # back-to-back inside cea_linked's write.
-        cand_future = _pool.submit(
-            ck.stage, "candidates",
-            lambda: parquet_barrier(cand_lazy, "candidates"),
-        )
-        _pool.shutdown(wait=False)
-        try:
-            res.stages["cells_m"] = ck.stage("cells_m", lambda: cm_lazy)
-        except BaseException:
-            et_future.cancel()
-            cand_future.cancel()
-            raise
-        res.stages["candidates"] = cand_future.result()
-    else:
-        res.stages["candidates"] = ck.stage(
-            "candidates", lambda: _gen_candidates()[1]
-        )
-        if upto("cells_m"):
+        if upto("candidates"):
             ck.finish()
             return res
-        # cells + mention_norm, consumed by CEA here and by the
-        # fragment query — a first-class resumable stage: a resumed
-        # run reads the checkpoint instead of re-running the bridge
-        # normalization subtree (VERDICT r02 #6). In no-checkpoint
-        # modes it is eagerly materialized for the same reason: the
-        # subtree re-scans the full cell table through the prenorm
-        # expressions and the bridge join, which would otherwise
-        # execute once per consumer (measured ~25-30 s CPU duplicated
-        # at the sf2.5 scaling corpus).
-        res.stages["cells_m"] = ck.stage(
-            "cells_m",
-            lambda: cells_m_holder.get("cells_m")
-            if "cells_m" in cells_m_holder
-            else _gen_candidates()[0],
-        )
-    cells_m = res.stages["cells_m"]
+        data = cells.where(F.col("row") >= 0)
+        cells_m_holder: dict[str, DataFrame] = {}
 
-    if et_future is None:
-        closure_map = closure_to_map(res.stages["closure"])
+        def _gen_candidates() -> tuple[DataFrame, DataFrame]:
+            cm, cand = generate_candidates(
+                data, dfs["entity_index"], fused=cand_fused
+            )
+            cells_m_holder["cells_m"] = cm
+            return cm, cand
 
-    if upto("entity_types"):
-        ck.finish()
-        return res
-    if et_future is not None:
-        res.stages["entity_types"] = et_future.result()
-    else:
-        res.stages["entity_types"] = ck.stage(
-            "entity_types",
-            lambda: build_entity_types(
-                dfs["entity_index"], dfs["kg_triples"], dfs["property_meta"],
-                res.stages["closure"], closure_map,
-            ),
-        )
+        if _pool is not None:
+            cm_lazy, cand_lazy = _gen_candidates()  # writes mention_bridge
+            # candidates materialized eagerly HERE (it is lazy in the
+            # sequential fused path): the fuzzy-scoring subtree is
+            # Python-worker-bound while cells_m's prenorm+bridge join is
+            # JVM-shuffle-bound — run on separate driver threads they
+            # overlap on complementary resources instead of executing
+            # back-to-back inside cea_linked's write.
+            cand_future = _pool.submit(
+                ck.stage, "candidates",
+                lambda: parquet_barrier(cand_lazy, "candidates"),
+            )
+            _pool.shutdown(wait=False)
+            res.stages["cells_m"] = ck.stage("cells_m", lambda: cm_lazy)
+            res.stages["candidates"] = cand_future.result()
+        else:
+            res.stages["candidates"] = ck.stage(
+                "candidates", lambda: _gen_candidates()[1]
+            )
+            if upto("cells_m"):
+                ck.finish()
+                return res
+            # cells + mention_norm, consumed by CEA here and by the
+            # fragment query — a first-class resumable stage: a resumed
+            # run reads the checkpoint instead of re-running the bridge
+            # normalization subtree (VERDICT r02 #6). In no-checkpoint
+            # modes it is eagerly materialized for the same reason: the
+            # subtree re-scans the full cell table through the prenorm
+            # expressions and the bridge join, which would otherwise
+            # execute once per consumer (measured ~25-30 s CPU duplicated
+            # at the sf2.5 scaling corpus).
+            res.stages["cells_m"] = ck.stage(
+                "cells_m",
+                lambda: cells_m_holder.get("cells_m")
+                if "cells_m" in cells_m_holder
+                else _gen_candidates()[0],
+            )
+        cells_m = res.stages["cells_m"]
+
+        if et_future is None:
+            closure_map = closure_to_map(res.stages["closure"])
+
+        if upto("entity_types"):
+            ck.finish()
+            return res
+        if et_future is not None:
+            res.stages["entity_types"] = et_future.result()
+        else:
+            res.stages["entity_types"] = ck.stage(
+                "entity_types",
+                lambda: build_entity_types(
+                    dfs["entity_index"], dfs["kg_triples"], dfs["property_meta"],
+                    res.stages["closure"], closure_map,
+                ),
+            )
+    except BaseException:
+        _abort_pool()
+        raise
     if upto("cea"):
         ck.finish()
         return res

@@ -51,14 +51,19 @@ def test_simhash_pairs_hot_bucket_cap_is_subset(spark):
 
 def test_simhash_matches_scalar_reference(spark):
     """The vocab-vectorized SimHash equals the naive per-token scalar
-    definition (bit b set iff ones*2 >= n over duplicated tokens)."""
-    import hashlib
-
+    definition (bit b set iff ones*2 >= n over duplicated tokens),
+    with token hashes from the independent pure-Python XXH64 mirror
+    (bit-exactness vs F.xxhash64 asserted in test_xxh64)."""
     import pandas as pd
+
+    from tabular_data_semantics_py_spark.functions.xxh64 import spark_xxhash64
 
     from tabular_data_semantics_py_spark.operators.dedup import simhash64
 
-    texts = ["a b c a", "", "a", "x y z x y z", "the quick brown fox"]
+    texts = [
+        "a b c a", "", "a", "x y z x y z", "the quick brown fox",
+        "  leading  double\tand trailing ",  # tokenizer parity: \s+ runs
+    ]
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
     )
@@ -68,12 +73,7 @@ def test_simhash_matches_scalar_reference(spark):
         toks = t.split()
         if not toks:
             return 0
-        hs = [
-            int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-            )
-            for tok in toks
-        ]
+        hs = [spark_xxhash64(tok) & ((1 << 64) - 1) for tok in toks]
         v = 0
         for b in range(64):
             ones = sum((h >> b) & 1 for h in hs)
