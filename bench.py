@@ -257,6 +257,89 @@ def run_vote_skew(spark, n_cells: int = 2_000_000, n_ent: int = 200_000):
     return out[0], out[1]
 
 
+def run_cpa_skew(spark, n_rows: int = 1_000_000, n_ent: int = 200_000):
+    """Hub-entity skew evidence for the CPA column-pair stage (VERDICT
+    r03 #5): CPA joins the subj-column × obj-column row pairs to the
+    triple store on (s_uri, o_uri) (operators/annotate.py cpa, ref
+    kg/endpoints.py:342-346). In a real corpus one hub entity
+    ('United States') is the main-column cell of a large fraction of
+    all rows, and its object cells repeat a small boilerplate set —
+    the composite join key concentrates. Returns (sec_uniform,
+    sec_skew).
+
+    - uniform: row r pairs (e_{r%n}, e_{(r+1)%n}) — every composite
+      key unique-ish, multiplicity 1 against the chain triples.
+    - skew: 50% of ALL rows pair the hub (e0, e_{1 + r%10}) — ten
+      composite keys carry half the fact table.
+
+    Broadcast is disabled: a 10^9-triple store can never broadcast, so
+    the honest shape is the shuffled sort-merge/hash join where the
+    hot composite keys land single reducers unless AQE skew-join
+    splitting carves them up; the vote groupBy is safe by partial
+    aggregation. Within ~2x of uniform = the claim holds.
+    """
+    from pyspark.sql import functions as F
+
+    from tabular_data_semantics_py_spark.operators.annotate import (
+        cpa as cpa_op,
+    )
+
+    def uri(c):
+        return F.concat(F.lit("http://x/e"), c.cast("string"))
+
+    chain = spark.range(n_ent).select(
+        uri(F.col("id")).alias("subj"),
+        F.concat(F.lit("http://x/p"), (F.col("id") % 20).cast("string"))
+        .alias("pred"),
+        uri((F.col("id") + 1) % n_ent).alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+    hub = spark.range(2, 11).select(
+        F.lit("http://x/e0").alias("subj"),
+        F.lit("http://x/hub").alias("pred"),
+        uri(F.col("id")).alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+    kg = chain.unionByName(hub).localCheckpoint()
+
+    def cea(skew: bool):
+        ids = spark.range(n_rows)
+        tbl = F.concat(F.lit("t"), (F.col("id") % 400).cast("string"))
+        row = (F.col("id") / 400).cast("int")
+        s_eid = F.col("id") % n_ent
+        o_eid = (F.col("id") % n_ent + 1) % n_ent
+        if skew:
+            hot = (F.col("id") % 2) == 0
+            s_eid = F.when(hot, F.lit(0)).otherwise(s_eid)
+            o_eid = F.when(hot, F.lit(1) + F.col("id") % 10).otherwise(o_eid)
+        subj_cells = ids.select(
+            tbl.alias("table_id"), F.lit(0).alias("col"),
+            row.alias("row"), uri(s_eid).alias("uri"),
+        )
+        obj_cells = ids.select(
+            tbl.alias("table_id"), F.lit(1).alias("col"),
+            row.alias("row"), uri(o_eid).alias("uri"),
+        )
+        return subj_cells.unionByName(obj_cells).localCheckpoint()
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # warm both plan shapes (codegen + python workers) before timing
+        for skew in (False, True):
+            cpa_op(cea(skew).limit(1000), kg).count()
+        out = []
+        for skew in (False, True):
+            c = cea(skew)
+            _gc(spark)
+            t0 = time.time()
+            cpa_op(c, kg).count()
+            out.append(time.time() - t0)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    return out[0], out[1]
+
+
 BENCH_QUERIES = [
     "pricing_summary",
     "order_revenue_topk",
@@ -315,6 +398,10 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
     timings["votes_uniform"] = round(v_u, 3)
     timings["votes_skew"] = round(v_s, 3)
 
+    p_u, p_s = run_cpa_skew(spark)
+    timings["cpa_uniform"] = round(p_u, 3)
+    timings["cpa_skew"] = round(p_s, 3)
+
     total = round(time.time() - t0, 3)
     out = {
         "metric": "bench_wall_sec",
@@ -327,6 +414,7 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
         "master": master,
         "skew_ratio": round(sec_s / sec_u, 3),
         "vote_skew_ratio": round(v_s / v_u, 3),
+        "cpa_skew_ratio": round(p_s / p_u, 3),
     }
     spark.stop()
     return out

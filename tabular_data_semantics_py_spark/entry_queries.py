@@ -1766,6 +1766,34 @@ def emb_ivf_knn(spark, sf_dir):
     )
 
 
+@q(
+    "emb_ivf_full_probe",
+    lambda: f"""
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_COS} DESC, b.vec_id) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 20
+) WHERE rank <= 3
+""",
+)
+def emb_ivf_full_probe(spark, sf_dir):
+    """IVF with n_probe = n_centroids: every query probes every cell,
+    so the candidate set is the full corpus and IVF ≡ exact kNN — an
+    exact oracle that still drives the whole ANN code path (seeded
+    sample → distributed Lloyd → vector-carrying assignment →
+    broadcast probe join → two-phase top-k). The exact-kNN DuckDB
+    oracle applies verbatim (same cosine expression, same
+    (cos desc, id) tie-break)."""
+    from .operators.similarity import ivf_knn
+
+    return ivf_knn(
+        _load(spark, sf_dir, "embeddings"), spark, list(range(20)),
+        k=3, n_centroids=8, n_probe=8,
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """The end-to-end KG pipeline on the fixture corpus → emitted
     canonical triples (driver smoke check)."""
