@@ -588,8 +588,33 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
     samples: dict[str, dict[int, list]] = {j: {low: [], high: []} for j in jobs}
     counts: dict[str, int] = {}
 
+    # The gate is an ABSOLUTE probe threshold, not a ratio to the
+    # in-run minimum: the healthy first-touch probe spans 0.04-0.1 s
+    # naturally (a 2.5x spread), so ratio-to-minimum gating flags
+    # genuinely clean runs and burns the retry budget, while a run
+    # whose every pass hit contention would launder itself clean
+    # (ADVICE r03). 0.15 s ≈ 10 us/page is comfortably above the
+    # healthy band and 2 orders below the contamination episodes
+    # (~1000x slowdowns, ROUND_NOTES.md r3).
+    probe_abs = float(os.environ.get("SPARK_GRAFT_PROBE_ABS", "0.15"))
+
+    def wait_quiet() -> None:
+        """Hold the pass until the host exits any contention episode:
+        a pass STARTED in bad weather wastes minutes of JVM heap
+        pre-touch at ~1000x fault latency and is near-certain to fail
+        the gate anyway. Bounded — after the budget we proceed and let
+        the per-rep gate/retry logic judge the result."""
+        wait_budget = float(
+            os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "900")
+        )
+        waited = 0.0
+        while waited < wait_budget and ambient_probe() > probe_abs:
+            time.sleep(30)
+            waited += 30
+
     def one_pass() -> None:
         for p in (low, high):
+            wait_quiet()
             spark = _scaling_session(p, high)
             if "kg_pipeline" in jobs:
                 # warmup (python workers, codegen)
@@ -629,30 +654,24 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
     for _rep in range(reps):
         one_pass()
 
-    def quality() -> tuple[float, float]:
-        """(worst weather ratio at any best-wall rep, quiet probe).
-
-        The quiet reference is min(observed, known-healthy floor): if
-        EVERY pass ran in bad weather, normalizing by the observed
-        minimum would launder the whole run as clean."""
-        mn = min(w for j in samples for p in samples[j]
-                 for _, w in samples[j][p])
-        mn = min(mn, float(os.environ.get("SPARK_GRAFT_PROBE_QUIET", "0.12")))
-        worst = max(
-            min(samples[j][p], key=lambda t: t[0])[1] / mn
+    def worst_probe() -> float:
+        """Worst weather probe (absolute sec) at any best-wall rep."""
+        return max(
+            min(samples[j][p], key=lambda t: t[0])[1]
             for j in samples for p in samples[j]
         )
-        return worst, mn
 
     # bad-weather retry: the probe tells us when a rep ran against
-    # co-tenant memory contention; a best-wall rep taken at >1.3x the
-    # quiet-window probe is not a measurement of OUR scaling, so run
+    # co-tenant memory contention; a best-wall rep taken during a
+    # contention episode is not a measurement of OUR scaling, so run
     # extra interleaved passes (bounded) until every recorded best is
     # from acceptable weather.
+    retry_budget = int(os.environ.get("SPARK_GRAFT_SCALING_RETRIES", "4"))
     extra = 0
-    while extra < 2 and quality()[0] > 1.3:
+    while extra < retry_budget and worst_probe() > probe_abs:
         one_pass()
         extra += 1
+    gate_passed = worst_probe() <= probe_abs
 
     best = {
         j: {p: min(samples[j][p], key=lambda t: t[0])[0]
@@ -664,7 +683,6 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
             for p in samples[j]}
         for j in jobs
     }
-    worst_ratio, min_probe = quality()
 
     ideal = high / low
     eff = {}
@@ -689,11 +707,12 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
             "rows": counts[job],
             "efficiency": eff[job],
             "low": low, "high": high,
-            "weather_ratio": {
-                str(p): round(weather_at_best[job][p] / min_probe, 2)
+            "probe_at_best_sec": {
+                str(p): round(weather_at_best[job][p], 4)
                 for p in weather_at_best[job]
             },
-            "min_probe_sec": round(min_probe, 4),
+            "probe_abs_gate_sec": probe_abs,
+            "gate_passed": gate_passed,
             "passes": reps + extra,
         }
     json.dump(state, open(state_path, "w"), indent=1)
@@ -702,9 +721,8 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
     }
     counts = {j: v["rows"] for j, v in state.items()}
     eff = {j: v["efficiency"] for j, v in state.items()}
-    weather = {
-        j: v.get("weather_ratio", {}) for j, v in state.items()
-    }
+    probes = {j: v.get("probe_at_best_sec", {}) for j, v in state.items()}
+    gates = {j: v.get("gate_passed") for j, v in state.items()}
     with open(REPO / "BENCH" / "BASELINE.md", "w") as f:
         f.write(
             "# BENCH baseline — scaling protocol (BASELINE.md)\n\n"
@@ -714,32 +732,45 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
             f"during run: {' '.join(load)}.\n\n"
             "Weather = host page-fault-latency probe "
             "(bench.ambient_probe: mmap+first-touch 64 MiB, sampled "
-            "in-rep by a subprocess monitor) at the recorded rep, as a "
-            "ratio to the quiet-window probe; reps are retried until "
-            "every recorded best is from weather <= 1.3 (or the retry "
-            "budget is exhausted). Host memory pressure makes faults "
-            "intermittently ~1000x slow while guest steal/loadavg stay "
-            "clean, so nothing coarser can gate this "
-            "(ROUND_NOTES.md r3).\n\n"
+            "in-rep by a subprocess monitor) at the recorded rep, in "
+            "ABSOLUTE seconds (healthy 0.04-0.1 s); reps are retried "
+            "until every recorded best has probe <= "
+            f"{probe_abs} s (or the retry budget is exhausted, which "
+            "is flagged loudly below). Host memory pressure makes "
+            "faults intermittently ~1000x slow while guest "
+            "steal/loadavg stay clean, so nothing coarser can gate "
+            "this (ROUND_NOTES.md r3).\n\n"
             "| job | local[%d] wall (s) | local[%d] wall (s) | rows | "
-            "efficiency (thr%d/thr%d)/%d | weather lo/hi |\n"
-            "|---|---|---|---|---|---|\n"
+            "efficiency (thr%d/thr%d)/%d | probe lo/hi (s) | gate |\n"
+            "|---|---|---|---|---|---|---|\n"
             % (low, high, high, low, int(ideal))
         )
         for job, times in best.items():
-            w = weather.get(job, {})
+            pr = probes.get(job, {})
+            g = gates.get(job)
+            gtxt = "ok" if g else ("**GATE FAILED**" if g is False else "?")
             f.write(
                 f"| {job} | {times[low]:.1f} | {times[high]:.1f} | "
                 f"{counts[job]} | **{eff[job]:.3f}** | "
-                f"{w.get(str(low), '?')}/{w.get(str(high), '?')} |\n"
+                f"{pr.get(str(low), '?')}/{pr.get(str(high), '?')} | "
+                f"{gtxt} |\n"
+            )
+        if any(g is False for g in gates.values()):
+            f.write(
+                "\n**GATE FAILED**: the retry budget was exhausted "
+                "with at least one recorded best still taken during a "
+                "host-contention episode — the flagged rows are NOT "
+                "trustworthy measurements of this engine's scaling "
+                "and must be re-run in a quiet window before being "
+                "cited.\n"
             )
         f.write(
             "\n- `knn_similarity` (compute-bound, whole-stage-codegen "
             "cosine folds) is the representative scaling measure.\n"
-            "- `kg_pipeline` at fixture scale is stage-latency-bound "
-            "(~100 sequential sub-second stages); its efficiency is a "
-            "lower bound that rises with per-partition data volume — "
-            "the regime the 100 TB target lives in.\n"
+            "- `kg_pipeline` exercises the full stage graph; its "
+            "efficiency is a lower bound that rises with per-partition "
+            "data volume — the regime the 100 TB target lives in "
+            "(serial-floor decomposition in BENCH/SCALING_FLOOR.md).\n"
         )
     print(json.dumps({
         "metric": "scaling_efficiency",

@@ -155,19 +155,25 @@ def _cea_scored(
         .groupBy("table_id", "col", "uri")
         .agg(F.max(F.coalesce(F.col("votes"), F.lit(0))).alias("max_votes"))
     )
-    if not fused:
-        # same race as prelim (see above): cu_votes broadcasts into
-        # the final join, and its subtree (linked dedup + types
-        # explode) is the CPU-fattest thing in the cea action — the
-        # one thing we never want a broadcast thread to silently
-        # re-execute. Small output, one eager write.
-        cu_votes = parquet_barrier(cu_votes, "cea_cu_votes")
     # linked is unique per (cell, uri) — candidates are deduped by
     # (mention, uri) upstream — so the join-back reproduces exactly the
-    # per-(cell, candidate) rows of the direct explode formulation
+    # per-(cell, candidate) rows of the direct explode formulation.
+    #
+    # Both join inputs are pinned shuffle_hash, the same scale
+    # argument as the votes join above: cu_votes is (table, col, uri)-
+    # distinct and col_n is (table, col)-distinct — both grow with the
+    # corpus and can never broadcast at the 10^12-file target. The pin
+    # also removes two single-threaded driver-side broadcast hash-
+    # relation builds from the measured path (profiled: the cea action
+    # was FLAT ~9 s from local[2] to local[8] while every pinned
+    # shuffle around it scaled — a broadcast build is serial time that
+    # a real 4N cluster would not pay either, because at real scale
+    # these joins are shuffles). With no broadcast consumer left,
+    # cu_votes no longer needs its re-execution barrier: its fat
+    # explode subtree executes exactly once inside the one cea action.
     cand_typed = (
-        linked.join(cu_votes, ["table_id", "col", "uri"])
-        .join(col_n, ["table_id", "col"])
+        linked.join(cu_votes.hint("shuffle_hash"), ["table_id", "col", "uri"])
+        .join(col_n.hint("shuffle_hash"), ["table_id", "col"])
         .withColumn(
             "final_score",
             F.col("score")

@@ -31,7 +31,7 @@ from ..operators.annotate import cpa as cpa_op
 from ..operators.annotate import cta as cta_op
 from ..operators.candidates import generate_candidates
 from ..operators.closure import build_closure, closure_to_map
-from ..operators.emit import emit_triples
+from ..operators.emit import build_rows_present, emit_triples
 from ..operators.types_cascade import (
     build_entity_types,
     make_most_specific_udf,
@@ -208,7 +208,7 @@ def run_pipeline(
     # real cluster these are just concurrently-submitted job groups.
     # Checkpointed runs stay sequential: stage order in the manifest
     # is part of the resume contract.
-    et_future = cand_future = _pool = None
+    et_future = cand_future = rp_future = _pool = None
     if (
         checkpoint_dir is None
         and materialize != "all"
@@ -219,7 +219,7 @@ def run_pipeline(
 
         closure_df = res.stages["closure"]
         closure_map = closure_to_map(closure_df)
-        _pool = ThreadPoolExecutor(max_workers=2)
+        _pool = ThreadPoolExecutor(max_workers=3)
         et_future = _pool.submit(
             ck.stage,
             "entity_types",
@@ -255,7 +255,7 @@ def run_pipeline(
         # cancel whatever has not started and drop the queue.
         # cancel() on an already-running future is best-effort, but
         # shutdown(cancel_futures=True) guarantees nothing new starts.
-        for fut in (et_future, cand_future):
+        for fut in (et_future, cand_future, rp_future):
             if fut is not None:
                 fut.cancel()
         if _pool is not None:
@@ -268,6 +268,14 @@ def run_pipeline(
             extra_metric=_sha_integrity if checkpoint_dir is not None else None,
         )
         cells = res.stages["cells"]
+        if _pool is not None and stop_after is None:
+            # the emission row spine depends only on cells — its
+            # barrier (profiled 5-9 s at the sf2.5 scaling corpus)
+            # overlaps the whole candidates/CEA chain instead of
+            # running serially inside the triples stage
+            rp_future = _pool.submit(
+                lambda: build_rows_present(cells, fused=False)
+            )
 
         if upto("candidates"):
             ck.finish()
@@ -373,7 +381,9 @@ def run_pipeline(
     res.stages["triples"] = ck.stage(
         "triples",
         lambda: emit_triples(
-            cells, res.stages["cea"], res.stages["cta"], fused=fused
+            cells, res.stages["cea"], res.stages["cta"], fused=fused,
+            rows_present=rp_future.result() if rp_future is not None
+            else None,
         ),
     )
     ck.finish()
