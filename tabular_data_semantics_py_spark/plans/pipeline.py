@@ -345,47 +345,51 @@ def run_pipeline(
                     res.stages["closure"], closure_map,
                 ),
             )
+        # the guard extends through the triples stage: rp_future may
+        # still be running anywhere in the cea→triples region (the
+        # upto() early returns below cannot race it — rp_future is
+        # only submitted when stop_after is None)
+        if upto("cea"):
+            ck.finish()
+            return res
+        res.stages["cea"] = ck.stage(
+            "cea",
+            lambda: cea_op(
+                cells_m, res.stages["candidates"], res.stages["entity_types"],
+                fused=fused,
+            ),
+        )
+        if upto("cta"):
+            ck.finish()
+            return res
+        ms_udf = make_most_specific_udf(closure_map, AGENT_CLASS)
+        res.stages["cta"] = ck.stage(
+            "cta",
+            lambda: cta_op(
+                res.stages["cea"], res.stages["entity_types"], ms_udf,
+                res.stages["closure"],
+            ),
+        )
+        if upto("cpa"):
+            ck.finish()
+            return res
+        res.stages["cpa"] = ck.stage(
+            "cpa", lambda: cpa_op(res.stages["cea"], dfs["kg_triples"])
+        )
+        if upto("triples"):
+            ck.finish()
+            return res
+        res.stages["triples"] = ck.stage(
+            "triples",
+            lambda: emit_triples(
+                cells, res.stages["cea"], res.stages["cta"], fused=fused,
+                rows_present=rp_future.result() if rp_future is not None
+                else None,
+            ),
+        )
     except BaseException:
         _abort_pool()
         raise
-    if upto("cea"):
-        ck.finish()
-        return res
-    res.stages["cea"] = ck.stage(
-        "cea",
-        lambda: cea_op(
-            cells_m, res.stages["candidates"], res.stages["entity_types"],
-            fused=fused,
-        ),
-    )
-    if upto("cta"):
-        ck.finish()
-        return res
-    ms_udf = make_most_specific_udf(closure_map, AGENT_CLASS)
-    res.stages["cta"] = ck.stage(
-        "cta",
-        lambda: cta_op(
-            res.stages["cea"], res.stages["entity_types"], ms_udf,
-            res.stages["closure"],
-        ),
-    )
-    if upto("cpa"):
-        ck.finish()
-        return res
-    res.stages["cpa"] = ck.stage(
-        "cpa", lambda: cpa_op(res.stages["cea"], dfs["kg_triples"])
-    )
-    if upto("triples"):
-        ck.finish()
-        return res
-    res.stages["triples"] = ck.stage(
-        "triples",
-        lambda: emit_triples(
-            cells, res.stages["cea"], res.stages["cta"], fused=fused,
-            rows_present=rp_future.result() if rp_future is not None
-            else None,
-        ),
-    )
     ck.finish()
     res.metrics = ck.metrics
     return res
