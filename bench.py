@@ -597,6 +597,15 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
     # healthy band and 2 orders below the contamination episodes
     # (~1000x slowdowns, ROUND_NOTES.md r3).
     probe_abs = float(os.environ.get("SPARK_GRAFT_PROBE_ABS", "0.15"))
+    # the scaling corpus is LARGER than the headline sf: at sf0.1 the
+    # whole pipeline is ~30 core-seconds, so 2 cores already saturate
+    # it and the measurement only sees the serial driver floor; the
+    # cluster-size rule is about the data-dominated regime. kg rows
+    # are recorded PER SF (kg_pipeline_sf{N}) so runs at several
+    # corpus scales accumulate into an efficiency-vs-sf trend — the
+    # direct evidence that the serial floor F is per-run, not
+    # per-byte (BENCH/SCALING_FLOOR.md).
+    kg_sf = float(os.environ.get("SPARK_GRAFT_SCALING_KG_SF", "2.5"))
 
     def wait_quiet() -> None:
         """Hold the pass until the host exits any contention episode:
@@ -619,14 +628,6 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
             if "kg_pipeline" in jobs:
                 # warmup (python workers, codegen)
                 run_kg_pipeline(spark, 0.001)
-                # the scaling corpus is LARGER than the headline sf:
-                # at sf0.1 the whole pipeline is ~30 core-seconds, so
-                # 2 cores already saturate it and the measurement only
-                # sees the serial driver floor; the cluster-size rule
-                # is about the data-dominated regime
-                kg_sf = float(
-                    os.environ.get("SPARK_GRAFT_SCALING_KG_SF", "2.5")
-                )
                 # steady-state: the first full-scale run in a fresh
                 # session pays one-time JIT/codegen unrelated to
                 # parallelism — time the best of 2 in-session runs
@@ -702,10 +703,14 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
     if os.path.exists(state_path):
         state = json.load(open(state_path))
     for job in jobs:
-        state[job] = {
+        # kg rows keyed per corpus sf: successive runs at rising sf
+        # accumulate the efficiency-vs-sf trend instead of clobbering
+        label = f"kg_pipeline_sf{kg_sf:g}" if job == "kg_pipeline" else job
+        state[label] = {
             "times": {str(p): best[job][p] for p in best[job]},
             "rows": counts[job],
             "efficiency": eff[job],
+            "kg_sf": kg_sf if job == "kg_pipeline" else None,
             "low": low, "high": high,
             "probe_at_best_sec": {
                 str(p): round(weather_at_best[job][p], 4)
@@ -767,11 +772,18 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
         f.write(
             "\n- `knn_similarity` (compute-bound, whole-stage-codegen "
             "cosine folds) is the representative scaling measure.\n"
-            "- `kg_pipeline` exercises the full stage graph; its "
-            "efficiency is a lower bound that rises with per-partition "
-            "data volume — the regime the 100 TB target lives in "
-            "(serial-floor decomposition in BENCH/SCALING_FLOOR.md).\n"
+            "- `kg_pipeline_sf{N}` rows are the SAME end-to-end job at "
+            "rising corpus scales: efficiency rises with sf because "
+            "the serial floor F is paid once per run, not per byte "
+            "(t(p) = F + W/p; fit and arithmetic in "
+            "BENCH/SCALING_FLOOR.md) — the data-dominated regime the "
+            "100 TB target lives in.\n"
         )
+    kg_rows = {
+        k: v for k, v in state.items() if k.startswith("kg_pipeline")
+    }
+    kg_top = max(kg_rows, key=lambda k: kg_rows[k].get("kg_sf") or 0) \
+        if kg_rows else None
     print(json.dumps({
         "metric": "scaling_efficiency",
         "value": round(eff.get("knn_similarity", 0.0), 3),
@@ -780,7 +792,7 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
             f"{job}_local{p}_sec": round(t, 2)
             for job, times in best.items() for p, t in times.items()
         },
-        "kg_pipeline_efficiency": round(eff.get("kg_pipeline", 0.0), 3),
+        "kg_pipeline_efficiency": round(eff[kg_top], 3) if kg_top else 0.0,
         "sf": sf,
     }))
 
