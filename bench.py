@@ -87,13 +87,15 @@ def run_kg_pipeline(
     for _ in range(reps):
         _gc(spark, unpersist=True)
         dfs = load_or_build_corpus_dfs(spark, n_tables, epc)
+        pre = ambient_probe()
         with weather_monitor() as wm:
             t0 = time.time()
             res = run_pipeline(spark, dfs)
             n = res.stages["triples"].count()
             sec = time.time() - t0
+        post = ambient_probe()
         if best is None or sec < best:
-            best, best_w = sec, wm.worst
+            best, best_w = sec, (max(pre, post), wm.worst)
     if weather:
         return best, n, best_w
     return best, n
@@ -635,7 +637,7 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
                     spark, kg_sf, reps=2, weather=True
                 )
                 counts["kg_pipeline"] = n
-                samples["kg_pipeline"][p].append((sec, w))
+                samples["kg_pipeline"][p].append((sec,) + w)
 
             if "knn_similarity" in jobs:
                 emb = (
@@ -644,19 +646,37 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
                     .localCheckpoint()
                 )
                 knn_bruteforce(emb, list(range(10)), k=3).count()  # warm
+                pre = ambient_probe()
                 with weather_monitor() as wm:
                     t0 = time.time()
                     nk = knn_bruteforce(emb, list(range(2000)), k=10).count()
                     sec = time.time() - t0
+                post = ambient_probe()
                 counts["knn_similarity"] = nk
-                samples["knn_similarity"][p].append((sec, wm.worst))
+                samples["knn_similarity"][p].append(
+                    (sec, max(pre, post), wm.worst)
+                )
             spark.stop()
 
     for _rep in range(reps):
         one_pass()
 
     def worst_probe() -> float:
-        """Worst weather probe (absolute sec) at any best-wall rep."""
+        """Worst BRACKET probe (max of the idle probes taken
+        immediately before and after the rep, absolute sec) at any
+        best-wall rep. The gate moved from the in-rep monitor to the
+        bracket in round 4: the in-rep probe runs concurrently with
+        the engine's own tmpfs shuffle/barrier writes, and the 4N
+        side allocates the same bytes at ~3-4x the rate — measured as
+        EVERY local[8] rep reading >= 0.2 s in-rep while local[2] and
+        idle probes read 0.03-0.14 s on the same host. That
+        self-inflation is legitimate work cost (it is inside the wall
+        either way); the gate's job is only to exclude CO-TENANT
+        episodes, which last minutes (ROUND_NOTES r3) and so are
+        caught by a tight bracket around a 1-3 min rep. Mid-rep
+        episodes the bracket could miss inflate that rep's wall, so
+        best-of-N discards them; the in-rep worst is still recorded
+        as a diagnostic."""
         return max(
             min(samples[j][p], key=lambda t: t[0])[1]
             for j in samples for p in samples[j]
@@ -684,6 +704,11 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
             for p in samples[j]}
         for j in jobs
     }
+    inrep_at_best = {
+        j: {p: min(samples[j][p], key=lambda t: t[0])[2]
+            for p in samples[j]}
+        for j in jobs
+    }
 
     ideal = high / low
     eff = {}
@@ -704,8 +729,12 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
         state = json.load(open(state_path))
     for job in jobs:
         # kg rows keyed per corpus sf: successive runs at rising sf
-        # accumulate the efficiency-vs-sf trend instead of clobbering
+        # accumulate the efficiency-vs-sf trend instead of clobbering.
+        # Non-default parallelism pairs get their own row too — the
+        # trend's x-axis is per-core work W/N, moved by either knob.
         label = f"kg_pipeline_sf{kg_sf:g}" if job == "kg_pipeline" else job
+        if (low, high) != (2, 8):
+            label = f"{label}_{low}v{high}"
         state[label] = {
             "times": {str(p): best[job][p] for p in best[job]},
             "rows": counts[job],
@@ -716,48 +745,75 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
                 str(p): round(weather_at_best[job][p], 4)
                 for p in weather_at_best[job]
             },
+            "probe_inrep_worst_sec": {
+                str(p): round(inrep_at_best[job][p], 4)
+                for p in inrep_at_best[job]
+            },
             "probe_abs_gate_sec": probe_abs,
             "gate_passed": gate_passed,
             "passes": reps + extra,
         }
     json.dump(state, open(state_path, "w"), indent=1)
-    best = {
-        j: {int(p): t for p, t in v["times"].items()} for j, v in state.items()
-    }
-    counts = {j: v["rows"] for j, v in state.items()}
+    # Render EVERY recorded row with its own (low, high) pair: the
+    # state accumulates rows measured at different parallelism pairs
+    # and corpus scales (the efficiency-vs-per-core-work trend), so
+    # the table cannot assume this run's levels.
     eff = {j: v["efficiency"] for j, v in state.items()}
-    probes = {j: v.get("probe_at_best_sec", {}) for j, v in state.items()}
     gates = {j: v.get("gate_passed") for j, v in state.items()}
+
+    def _row_order(item):
+        name, v = item
+        return (name.startswith("kg_pipeline"), v.get("kg_sf") or 0,
+                v.get("low", 0))
+
     with open(REPO / "BENCH" / "BASELINE.md", "w") as f:
         f.write(
             "# BENCH baseline — scaling protocol (BASELINE.md)\n\n"
-            f"Same jobs, same input, parallelism local[{low}] vs "
-            f"local[{high}] (N vs 4N cores), best of interleaved reps "
-            f"({reps} planned + bad-weather retries). Host load avg "
-            f"during run: {' '.join(load)}.\n\n"
+            "Same job, same input, two parallelism levels (local[N] "
+            "vs local[4N] — each row records its own N), best of "
+            f"interleaved reps ({reps} planned + bad-weather "
+            "retries). Host load avg during the latest run: "
+            f"{' '.join(load)}.\n\n"
             "Weather = host page-fault-latency probe "
-            "(bench.ambient_probe: mmap+first-touch 64 MiB, sampled "
-            "in-rep by a subprocess monitor) at the recorded rep, in "
-            "ABSOLUTE seconds (healthy 0.04-0.1 s); reps are retried "
-            "until every recorded best has probe <= "
+            "(bench.ambient_probe: mmap+first-touch 64 MiB), in "
+            "ABSOLUTE seconds (healthy 0.04-0.1 s). The GATE is the "
+            "probe BRACKET — max of the idle probes taken immediately "
+            "before and after the recorded rep; reps are retried "
+            "until every recorded best has bracket <= "
             f"{probe_abs} s (or the retry budget is exhausted, which "
             "is flagged loudly below). Host memory pressure makes "
             "faults intermittently ~1000x slow while guest "
             "steal/loadavg stay clean, so nothing coarser can gate "
-            "this (ROUND_NOTES.md r3).\n\n"
-            "| job | local[%d] wall (s) | local[%d] wall (s) | rows | "
-            "efficiency (thr%d/thr%d)/%d | probe lo/hi (s) | gate |\n"
-            "|---|---|---|---|---|---|---|\n"
-            % (low, high, high, low, int(ideal))
+            "this (ROUND_NOTES.md r3). The in-rep subprocess monitor "
+            "is recorded as a diagnostic but does NOT gate: it runs "
+            "concurrently with the engine's own tmpfs shuffle/barrier "
+            "writes, whose allocation RATE is ~3-4x higher on the 4N "
+            "side for the same bytes — measured as every local[8] rep "
+            "reading >= 0.2 s in-rep while local[2] and idle probes "
+            "read 0.03-0.14 s — i.e. it systematically fails the "
+            "faster side with the engine's own (wall-included) work. "
+            "Co-tenant episodes last minutes, so a tight bracket "
+            "around a 1-3 min rep catches them; a mid-rep episode the "
+            "bracket misses inflates that rep's wall and best-of-N "
+            "discards it.\n\n"
+            "| job | N vs 4N | wall@N (s) | wall@4N (s) | rows | "
+            "efficiency (thr4N/thrN)/4 | bracket N/4N (s) | "
+            "in-rep N/4N (s) | gate |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
         )
-        for job, times in best.items():
-            pr = probes.get(job, {})
-            g = gates.get(job)
+        for job, v in sorted(state.items(), key=_row_order):
+            lo, hi = v.get("low", low), v.get("high", high)
+            times = {int(p): t for p, t in v["times"].items()}
+            pr = v.get("probe_at_best_sec", {})
+            ir = v.get("probe_inrep_worst_sec", {})
+            g = v.get("gate_passed")
             gtxt = "ok" if g else ("**GATE FAILED**" if g is False else "?")
             f.write(
-                f"| {job} | {times[low]:.1f} | {times[high]:.1f} | "
-                f"{counts[job]} | **{eff[job]:.3f}** | "
-                f"{pr.get(str(low), '?')}/{pr.get(str(high), '?')} | "
+                f"| {job} | {lo}v{hi} | {times[lo]:.1f} | "
+                f"{times[hi]:.1f} | {v['rows']} | "
+                f"**{v['efficiency']:.3f}** | "
+                f"{pr.get(str(lo), '?')}/{pr.get(str(hi), '?')} | "
+                f"{ir.get(str(lo), '?')}/{ir.get(str(hi), '?')} | "
                 f"{gtxt} |\n"
             )
         if any(g is False for g in gates.values()):
@@ -801,8 +857,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if "--scaling" in sys.argv:
+        low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "2"))
         run_scaling(
-            sf_dir, reps=int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+            sf_dir, low=low, high=4 * low,
+            reps=int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2")),
         )
         return
     out = run_bench(sf_dir, master=f"local[{cpus}]")

@@ -77,6 +77,22 @@ def get_spark(
         # NOT a substitute here — a user-specified distribution on a
         # join input disables broadcasting that side.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+        # AQE's parallelism-first coalescing targets
+        # totalBytes / defaultParallelism, and defaultParallelism on
+        # local[N] is N — so the SAME shuffle coalesces to ~N
+        # partitions at every cluster size, i.e. exactly ~1.2 ragged
+        # waves of the fattest tasks regardless of N (event-log
+        # profiled: the CEA explode/join chain ran 9-11 tasks of ~5 s
+        # at local[8] — 135 task-seconds packed into 2 waves with 6
+        # cores idle in the second, while local[2] packed the same 10
+        # tasks into 5 full waves; N→4N efficiency of that stage
+        # capped at ~2.5x/4). Partitioning must follow the DATA, not
+        # the cluster: pin defaultParallelism to the shuffle width so
+        # the coalesce target (bytes/width) is identical at every
+        # parallelism, stages keep width-granular tasks (4 waves at
+        # 4N, 16 at N), and a straggler costs 1/width, not 1/N.
+        # Tiny dims still coalesce to the 16k floor above.
+        .config("spark.default.parallelism", str(shuffle_partitions))
         # AQE coalesce target: Spark's 64m default, env-overridable.
         # (A 16m override shipped briefly in r3 on the theory that
         # finer tasks fix ragged waves; the measurements behind it
