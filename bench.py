@@ -760,6 +760,16 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
     # the table cannot assume this run's levels.
     eff = {j: v["efficiency"] for j, v in state.items()}
     gates = {j: v.get("gate_passed") for j, v in state.items()}
+    kg_rows = {
+        k: v for k, v in state.items() if k.startswith("kg_pipeline")
+    }
+    # headline = the largest-corpus 1v4 pair when one exists (the
+    # less-distorted emulation, see the BASELINE.md bullet), else the
+    # largest-corpus row of any pair.
+    kg_1v4 = {k: v for k, v in kg_rows.items() if v.get("low") == 1}
+    pick_from = kg_1v4 or kg_rows
+    kg_top = max(pick_from, key=lambda k: pick_from[k].get("kg_sf") or 0) \
+        if pick_from else None
 
     def _row_order(item):
         name, v = item
@@ -834,12 +844,27 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
             "(t(p) = F + W/p; fit and arithmetic in "
             "BENCH/SCALING_FLOOR.md) — the data-dominated regime the "
             "100 TB target lives in.\n"
+            "- **Headline N→4N row: the largest-corpus `_1v4` pair** "
+            "(1v4 keeps the same 4x core ratio while the 4N side runs "
+            "only 4 concurrent streams, well inside one memory bus — "
+            "the 2v8 pairs fold in a single-box bandwidth-contention "
+            "artifact that no real 4x-larger cluster exhibits, "
+            "quantified in BENCH/SCALING_FLOOR.md; both pairs are "
+            "published deliberately, artifact and all)."
         )
-    kg_rows = {
-        k: v for k, v in state.items() if k.startswith("kg_pipeline")
-    }
-    kg_top = max(kg_rows, key=lambda k: kg_rows[k].get("kg_sf") or 0) \
-        if kg_rows else None
+        if kg_top:
+            tv = state[kg_top]
+            f.write(
+                f" **{kg_top}: efficiency {tv['efficiency']:.3f}"
+                f"{' >= 0.8' if tv['efficiency'] >= 0.8 else ''}, "
+                f"gate {'clean' if tv.get('gate_passed') else 'FAILED'} "
+                "(brackets "
+                f"{tv['probe_at_best_sec'].get(str(tv.get('low', low)))}/"
+                f"{tv['probe_at_best_sec'].get(str(tv.get('high', high)))})"
+                " — the BASELINE target row.**\n"
+            )
+        else:
+            f.write("\n")
     print(json.dumps({
         "metric": "scaling_efficiency",
         "value": round(eff.get("knn_similarity", 0.0), 3),
