@@ -333,17 +333,35 @@ def simhash64(
                 [np.asarray(h, dtype=np.int64) for h in hash_lists if len(h)]
             ).view(np.uint64)
             uniq, inv = np.unique(flat, return_inverse=True)
-            # ±1 bit table: one row per distinct token hash
+            k = len(uniq)
+            nz = lens[lens > 0]
+            n_nz = len(nz)
+            # ±1 bit table: one row per distinct token hash. int32 is
+            # safe: per-doc sums are bounded by the doc's token count.
             bit_tab = ((uniq[:, None] >> shifts) & 1).astype(np.int32) * 2 - 1
-            # per-doc fold as a cumulative-sum difference over segments
-            cs = np.zeros((total + 1, 64), dtype=np.int64)
-            np.cumsum(bit_tab[inv], axis=0, out=cs[1:])
-            ends = np.cumsum(lens)
-            seg = cs[ends] - cs[ends - lens]
+            if n_nz * k <= total:
+                # Zipf path: per-doc distinct-hash counts (bincount)
+                # folded by ONE integer matmul against the ±1 table.
+                # Work is n_nz*k*64 <= total*64, i.e. never more than
+                # the stream pass below, and ~mean_len/k_distinct
+                # times less on repetitive corpora (exact — integer
+                # arithmetic throughout).
+                doc_idx = np.repeat(np.arange(n_nz), nz)
+                counts = np.bincount(
+                    doc_idx * k + inv, minlength=n_nz * k
+                ).reshape(n_nz, k)
+                seg = counts @ bit_tab
+            else:
+                # general path: one segmented sum over the token
+                # stream (replaces a (total+1)x64 int64 cumulative-sum
+                # buffer — ~9x the traffic — that made whole-corpus
+                # Arrow batches crawl).
+                starts = np.zeros(n_nz, dtype=np.int64)
+                np.cumsum(nz[:-1], out=starts[1:])
+                seg = np.add.reduceat(bit_tab[inv], starts, axis=0)
             bits = (seg >= 0).astype(np.uint64)  # == ones*2 >= n
             vals = (bits << shifts).sum(axis=1).astype(np.int64)
-            nonempty = lens > 0
-            out[nonempty] = vals[nonempty]
+            out[lens > 0] = vals
         return pd.Series(out, dtype="int64")
 
     toks = F.filter(
