@@ -24,7 +24,13 @@ import json
 import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+# Resolve the package from --py-files (spark-submit puts the zip on
+# sys.path for driver and executors) when present; fall back to the
+# repo checkout for bare `python scripts/run_pipeline.py` runs.
+try:
+    import tabular_data_semantics_py_spark  # noqa: F401
+except ImportError:
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:

@@ -275,12 +275,14 @@ def _generator_version() -> str:
     """Content hash of the fixture generator source — corpus parquet
     caches auto-invalidate when generation logic changes."""
     import hashlib
-    import os
 
     from ..fixtures import generator as g
 
-    with open(os.path.abspath(g.__file__), "rb") as f:
-        return hashlib.sha256(f.read()).hexdigest()[:12]
+    # loader.get_source works for both filesystem imports and
+    # zipimport (spark-submit --py-files ships the package as a zip,
+    # where g.__file__ is not an openable path)
+    src = g.__spec__.loader.get_source(g.__spec__.name)
+    return hashlib.sha256(src.encode("utf-8")).hexdigest()[:12]
 
 
 def corpus_parquet_dir(n_tables: int, entities_per_class: int,

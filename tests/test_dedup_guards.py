@@ -112,3 +112,47 @@ def test_shingle_expr_matches_python(spark):
 
     want = {tuple(py_shingles(t)) for (t,) in rows}
     assert got == want
+
+
+def test_simhash_fold_both_paths_match_scalar(spark):
+    """The fold picks bincount-GEMM when n_docs*k_distinct <=
+    total_tokens (Zipf corpora) and a reduceat segmented sum
+    otherwise; force each branch with a deterministic corpus and
+    check both against the naive scalar definition.
+
+    Zipf batch: 40 docs x 30 tokens from a 4-word vocab
+    (40*4 = 160 <= 1200). Unique batch: 30 docs whose tokens are all
+    globally distinct (30*k = total*30 > total)."""
+    import pandas as pd
+
+    from tabular_data_semantics_py_spark.functions.xxh64 import spark_xxhash64
+    from tabular_data_semantics_py_spark.operators.dedup import simhash64
+
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    zipf = [
+        " ".join(vocab[(i * 7 + j) % 4] for j in range(30)) for i in range(40)
+    ]
+    uniq = [
+        " ".join(f"tok{i}_{j}" for j in range(8)) for i in range(30)
+    ]
+
+    def ref(t):
+        toks = t.split()
+        if not toks:
+            return 0
+        hs = [spark_xxhash64(tok) & ((1 << 64) - 1) for tok in toks]
+        v = 0
+        for b in range(64):
+            if sum((h >> b) & 1 for h in hs) * 2 >= len(toks):
+                v |= 1 << b
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    for texts in (zipf, uniq):
+        # coalesce(1): the whole corpus arrives as one Arrow batch, so
+        # the branch predicate sees the intended n_docs/k/total shape
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        ).coalesce(1)
+        got = {r.id: r.simhash for r in simhash64(df).collect()}
+        for i, t in enumerate(texts):
+            assert got[i] == ref(t), (i, t)
