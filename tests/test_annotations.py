@@ -93,3 +93,30 @@ def test_graph_sink_roundtrip(spark, pipeline, tmp_path):
 
     buckets = [d for d in os.listdir(p) if d.startswith("bucket=")]
     assert len(buckets) > 1
+
+
+def test_graph_sink_hot_subject_spreads_over_writers(spark, tmp_path):
+    """A Zipf-hot subject must NOT pin one writer task: its bucket dir
+    holds multiple data files (one per (bucket, write-salt) shuffle
+    partition), while read-side bucket pruning still sees one dir."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    hot = spark.range(20_000).select(
+        F.lit("http://x/HOT").alias("subj"),
+        F.lit("http://x/p").alias("pred"),
+        F.concat(F.lit("o"), F.col("id").cast("string")).alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+    p = str(tmp_path / "graph_hot")
+    write_graph(hot, p, n_buckets=8, write_salt=8)
+
+    buckets = [d for d in os.listdir(p) if d.startswith("bucket=")]
+    assert len(buckets) == 1  # one subject -> one bucket dir (pruning)
+    files = [
+        f for f in os.listdir(os.path.join(p, buckets[0]))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) > 1  # ...written by multiple salted tasks
+    assert read_graph(spark, p).count() == 20_000
