@@ -48,11 +48,38 @@ def scratch_root() -> str:
     return tempfile.gettempdir()
 
 
+def _ensure_worker_import_path() -> None:
+    """Make this package importable by locally-spawned Python workers.
+
+    Workers inherit ``PYTHONPATH`` from the driver process environment
+    (PythonWorkerFactory builds the worker env from the JVM's, which
+    the driver Python process launched) — they do NOT inherit the
+    driver's ``sys.path`` mutations or its cwd-relative imports. A
+    driver started outside the repo root (pytest from ``tests/``, a
+    notebook, a script a directory up) can import this package while
+    its workers cannot: every closure cloudpickle serializes by
+    REFERENCE (any UDF touching a module-level helper) then dies on
+    the worker with ``ModuleNotFoundError`` at ``read_udfs``. On a
+    real cluster ``spark-submit --py-files`` fills this seam
+    (tests/test_spark_submit.py); for local sessions, prepend the
+    package's parent — a directory, or the ``--py-files`` zip itself
+    when running zipimported (both are legal ``sys.path`` entries) —
+    to ``PYTHONPATH`` before the JVM gateway launches.
+    """
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if root not in [p for p in existing.split(os.pathsep) if p]:
+        os.environ["PYTHONPATH"] = (
+            root + os.pathsep + existing if existing else root
+        )
+
+
 def get_spark(
     app_name: str = "tabular-data-semantics-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    _ensure_worker_import_path()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:

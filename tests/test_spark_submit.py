@@ -19,6 +19,52 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 SPARK_SUBMIT = shutil.which("spark-submit")
 
+# Driver started OUTSIDE the repo root, package imported via a driver-
+# side sys.path insert only (what pytest-from-tests/ or a notebook
+# does). Python workers do not inherit driver sys.path mutations —
+# only get_spark's PYTHONPATH propagation (_ensure_worker_import_path)
+# lets them deserialize by-reference-pickled closures; without it the
+# collect dies with ModuleNotFoundError at read_udfs on the worker.
+_CWD_INDEPENDENCE_SCRIPT = """\
+import sys
+sys.path.insert(0, {repo!r})
+from tabular_data_semantics_py_spark.session import get_spark
+from tabular_data_semantics_py_spark.operators.multimodal import (
+    extract_media_meta, synth_media,
+)
+spark = get_spark(app_name="cwd-independence", master="local[2]",
+                  shuffle_partitions=2)
+docs = spark.createDataFrame(
+    [(i, "payload text %d" % i) for i in range(9)],
+    "doc_id int, text string",
+)
+rows = extract_media_meta(synth_media(docs), decode="stub").collect()
+assert len(rows) == 9, rows
+assert all(r.sha for r in rows)
+print("CWD_INDEPENDENT_OK", len(rows))
+spark.stop()
+"""
+
+
+def test_worker_import_path_independent_of_cwd(tmp_path):
+    script = tmp_path / "probe.py"
+    script.write_text(_CWD_INDEPENDENCE_SCRIPT.format(repo=str(REPO)))
+    env = {
+        k: v
+        for k, v in __import__("os").environ.items()
+        if k != "PYTHONPATH"
+    }
+    res = subprocess.run(
+        ["python", str(script)],
+        cwd=tmp_path,  # nothing import-relevant in the worker cwd
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "CWD_INDEPENDENT_OK 9" in res.stdout
+
 
 @pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
 def test_spark_submit_py_files_fixture_run(tmp_path):
