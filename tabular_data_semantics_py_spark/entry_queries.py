@@ -1006,6 +1006,53 @@ def kg_redirect_sameas(spark, sf_dir):
     return r.union(r.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
 
 
+def _o_canonical_ids():
+    corpus, _, _ = _fixture()
+    rows = [
+        (e.uri, e.redirect_to) for e in corpus.entities if e.redirect_to
+    ] + list(corpus.cross_sameas)
+    # exact reachability closure via recursive CTE, then min per node —
+    # the ground-truth connected-components semantics
+    return f"""
+WITH RECURSIVE raw(a, b) AS (SELECT * FROM {_values(rows, "a, b")}),
+e(a, b) AS (SELECT a, b FROM raw UNION SELECT b, a FROM raw),
+n(u) AS (SELECT a FROM e UNION SELECT b FROM e),
+reach(u, v) AS (
+    SELECT u, u FROM n
+    UNION
+    SELECT r.u, e.b FROM reach r JOIN e ON e.a = r.v
+)
+SELECT u AS node, MIN(v) AS component FROM reach GROUP BY u
+"""
+
+
+@q("kg_canonical_ids", _o_canonical_ids)
+def kg_canonical_ids(spark, sf_dir):
+    """Unbounded identity canonicalization: connected components over
+    redirects ∪ sameAs via alternating large-star/small-star
+    (operators/components.py). Exact-closure generalization of the
+    reference's bounded resolution (≤2 redirect hops,
+    challenge_utils.py:441-453; one sameAs step,
+    kg/endpoints.py:530-538) — the form that survives unbounded
+    identity chains at 10^12-file scale."""
+    from .operators.components import connected_components
+
+    dfs = _dfs(spark)
+    idx = dfs["entity_index"]
+    edges = (
+        idx.where(F.col("redirect_to").isNotNull())
+        .select(
+            F.col("uri").alias("src"), F.col("redirect_to").alias("dst")
+        )
+        .unionByName(
+            dfs["cross_sameas"].select(
+                F.col("uri").alias("src"), F.col("wd_uri").alias("dst")
+            )
+        )
+    )
+    return connected_components(edges)
+
+
 def _o_mention_col():
     _, _, gold = _fixture()
     # independent recomputation: for each (table, normalized mention)
