@@ -162,14 +162,18 @@ def run_candidate_skew(spark, n_idx: int = 20_000, n_mentions: int = 50_000):
         )
         cand.count()
 
-    out = []
-    for skew in (False, True):
-        c = cells(skew)
-        _gc(spark)
-        t0 = time.time()
-        _, cand = generate_candidates(c, index, max_token_df=64)
-        cand.count()
-        out.append(time.time() - t0)
+    # interleaved best-of-2 per side: the reported ratio is the skew
+    # deliverable, and a single host-weather episode (ROUND_NOTES r3)
+    # landing on one side would otherwise fake a 3-4x "regression"
+    out = [float("inf"), float("inf")]
+    for _rep in range(2):
+        for i, skew in enumerate((False, True)):
+            c = cells(skew)
+            _gc(spark)
+            t0 = time.time()
+            _, cand = generate_candidates(c, index, max_token_df=64)
+            cand.count()
+            out[i] = min(out[i], time.time() - t0)
     return out[0], out[1]
 
 
@@ -247,13 +251,15 @@ def run_vote_skew(spark, n_cells: int = 2_000_000, n_ent: int = 200_000):
         # warm both plan shapes (codegen + python workers) before timing
         for skew in (False, True):
             cta_op(cea(skew).limit(1000), ent, ms_udf, closure).count()
-        out = []
-        for skew in (False, True):
-            c = cea(skew)
-            _gc(spark)
-            t0 = time.time()
-            cta_op(c, ent, ms_udf, closure).count()
-            out.append(time.time() - t0)
+        # interleaved best-of-2 per side (see run_candidate_skew)
+        out = [float("inf"), float("inf")]
+        for _rep in range(2):
+            for i, skew in enumerate((False, True)):
+                c = cea(skew)
+                _gc(spark)
+                t0 = time.time()
+                cta_op(c, ent, ms_udf, closure).count()
+                out[i] = min(out[i], time.time() - t0)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
     return out[0], out[1]
@@ -330,13 +336,15 @@ def run_cpa_skew(spark, n_rows: int = 1_000_000, n_ent: int = 200_000):
         # warm both plan shapes (codegen + python workers) before timing
         for skew in (False, True):
             cpa_op(cea(skew).limit(1000), kg).count()
-        out = []
-        for skew in (False, True):
-            c = cea(skew)
-            _gc(spark)
-            t0 = time.time()
-            cpa_op(c, kg).count()
-            out.append(time.time() - t0)
+        # interleaved best-of-2 per side (see run_candidate_skew)
+        out = [float("inf"), float("inf")]
+        for _rep in range(2):
+            for i, skew in enumerate((False, True)):
+                c = cea(skew)
+                _gc(spark)
+                t0 = time.time()
+                cpa_op(c, kg).count()
+                out[i] = min(out[i], time.time() - t0)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
     return out[0], out[1]
@@ -363,6 +371,7 @@ BENCH_QUERIES = [
     "emb_knn",
     "emb_ivf_knn",
     "emb_cosine_pairs_fast",
+    "emb_srp_neardup",
 ]
 
 

@@ -1595,6 +1595,80 @@ def emb_cosine_pairs_fast(spark, sf_dir):
     )
 
 
+def _o_srp_neardup():
+    """Independent recomputation of the SRP-LSH near-dup semantics
+    (candidates-sharing-a-band-bucket ∩ exact cosine ≥ τ) over the
+    oracle sf's embeddings: naive per-component projection loops and a
+    dict-of-buckets pairing instead of the operator's GEMM +
+    bucket-equi-join, with the verify cosine folded in the operator's
+    exact sequential operand order. Hyperplanes re-derived from
+    (n_bits, dim, seed) via the pure-Python XXH64 mirror — shared
+    *parameters*, independent *computation* (the doc_simhash oracle
+    precedent)."""
+    import duckdb
+
+    from .operators.similarity import srp_hyperplanes
+
+    n_bits, n_bands, tau = 128, 16, 0.4
+    sf_dir = _oracle_sf_dir()
+    rows = duckdb.connect().execute(
+        "SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    dim = len(rows[0][1])
+    H = srp_hyperplanes(n_bits, dim)
+    r_bits = n_bits // n_bands
+    buckets: dict[tuple[int, int], list[int]] = {}
+    vecs: dict[int, list[float]] = {}
+    for vid, vec in rows:
+        vecs[vid] = vec
+        bits = []
+        for b in range(n_bits):
+            acc = 0.0
+            hb = H[b]
+            for d in range(dim):
+                acc += vec[d] * hb[d]
+            bits.append(1 if acc > 0 else 0)
+        for band in range(n_bands):
+            key = 0
+            for k in range(r_bits):
+                key |= bits[band * r_bits + k] << k
+            buckets.setdefault((band, key), []).append(vid)
+
+    def cos(a, b):
+        dot = naa = nbb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            naa += x * x
+            nbb += y * y
+        return dot / (naa**0.5 * nbb**0.5)
+
+    cand = set()
+    for members in buckets.values():
+        members.sort()
+        for ii in range(len(members)):
+            for jj in range(ii + 1, len(members)):
+                cand.add((members[ii], members[jj]))
+    out = sorted(
+        (i, j) for i, j in cand if cos(vecs[i], vecs[j]) >= tau
+    )
+    return f"SELECT * FROM {_values(out, 'i, j')}"
+
+
+@q("emb_srp_neardup", _o_srp_neardup)
+def emb_srp_neardup(spark, sf_dir):
+    """LSH-bucketed embedding near-dup (signed random projection) —
+    the scale path beside IVF: 128-bit Rademacher-SRP signatures, 16
+    band buckets, exact sequential-fold cosine verify at 0.4. The
+    testdata embeddings are isotropic (max pairwise cos ≈ 0.5), so the
+    oracle checks the operator's defined candidate∩verify contract
+    exactly; the ≥0.996-recall near-dup regime (c ≥ 0.9) is asserted
+    on a clustered synthetic in tests/test_similarity.py."""
+    from .operators.similarity import srp_lsh_pairs
+
+    return srp_lsh_pairs(_load(spark, sf_dir, "embeddings"), spark, 0.4)
+
+
 # word-3-gram-shingle Jaccard oracle: shingles built in SQL exactly
 # like operators/dedup.word_sets(ngram=3) incl. the partial trailing
 # shingle for docs shorter than 3 tokens (chr(31) = the \x1f joiner)

@@ -218,6 +218,126 @@ def cosine_pairs_blocked(
     )
 
 
+def srp_hyperplanes(n_bits: int, dim: int, seed: int = 7):
+    """Deterministic Rademacher (±1) hyperplane matrix for signed
+    random projection, n_bits × dim float64. Component d of hyperplane
+    b is bit (d % 64) of the pure-Python XXH64 mirror
+    (functions/xxh64.py) hashed at word index ``b·ceil(dim/64) +
+    d//64`` — the same constants any executor or oracle re-derives
+    from (n_bits, dim, seed) alone, so nothing needs to ship with the
+    job. Rademacher components satisfy the SRP collision property
+    P(sign match) ≈ 1 − θ/π the same as Gaussian ones."""
+    import numpy as np
+
+    from ..functions.xxh64 import spark_xxhash64
+
+    n_words = (dim + 63) // 64
+    H = np.empty((n_bits, dim), dtype=np.float64)
+    for b in range(n_bits):
+        bits = []
+        for w in range(n_words):
+            h = spark_xxhash64((b * n_words + w, "int"), seed=seed)
+            h &= (1 << 64) - 1
+            bits.extend(1.0 if (h >> i) & 1 else -1.0 for i in range(64))
+        H[b] = bits[:dim]
+    return H
+
+
+def srp_lsh_pairs(
+    emb: DataFrame,
+    spark,
+    threshold: float,
+    n_bits: int = 128,
+    n_bands: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Signed-random-projection LSH near-dup pairs — the LSH-bucketed
+    scale path for embedding-cosine near-dup (the brief's named
+    alternative to IVF). Same three-stage shape as ``minhash_lsh_pairs``
+    (operators/dedup.py):
+
+    1. signature: each vector's n_bits sign bits of V·Hᵀ against the
+       deterministic Rademacher hyperplanes (one float64 GEMM per Arrow
+       batch inside ``mapInPandas`` — no shuffle, no driver traffic);
+    2. banding: bits packed into ``n_bands`` band keys; vectors sharing
+       any (band, key) bucket become candidate pairs via a bucket
+       equi-join (never all-pairs). ``max_bucket_size`` is the standard
+       hot-bucket guard for the 10^6-copy boilerplate-cluster regime;
+    3. verify: candidates re-checked JVM-side with the exact
+       sequential-fold ``cosine_expr`` at ``threshold`` — the same
+       operand order as the brute-force baseline and the SQL oracle, so
+       output rows are exact.
+
+    Output = { (i<j) : cosine ≥ threshold AND the pair shares ≥1 band
+    bucket }. Recall vs the full cosine set for a pair at cosine c is
+    1 − (1 − p^r)^b with p = 1 − arccos(c)/π, r = n_bits/n_bands:
+    ≥ 0.996 at c = 0.9 and ≥ 1 − 2e-8 at c = 0.95 with the defaults —
+    the near-dup regime LSH exists for (asserted on a clustered
+    synthetic in tests/test_similarity.py; the isotropic testdata
+    exercises the exact candidate∩verify contract via the VALUES
+    oracle instead)."""
+    import numpy as np
+
+    if n_bits % n_bands:
+        raise ValueError("n_bits must be a multiple of n_bands")
+    r_bits = n_bits // n_bands
+    if r_bits > 63:
+        raise ValueError("band keys must fit a signed long")
+    dim = len(emb.select(vec_col).first()[0])
+    bH = spark.sparkContext.broadcast(srp_hyperplanes(n_bits, dim, seed))
+
+    def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        H = bH.value
+        weights = 1 << np.arange(r_bits, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (V @ H.T) > 0  # n × n_bits
+            keys = (
+                bits.reshape(len(V), n_bands, r_bits).astype(np.int64)
+                @ weights
+            )
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "keys": list(keys)}
+            )
+
+    band_rows = (
+        emb.select(id_col, vec_col)
+        .mapInPandas(signatures, "id long, keys array<long>")
+        .select("id", F.posexplode("keys").alias("band", "bucket"))
+    )
+    if max_bucket_size is not None:
+        hot = (
+            band_rows.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        band_rows = band_rows.join(
+            F.broadcast(hot), ["band", "bucket"], "left_anti"
+        )
+    l = band_rows.select(F.col("id").alias("i"), "band", "bucket")
+    r = band_rows.select(F.col("id").alias("j"), "band", "bucket")
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .dropDuplicates(["i", "j"])
+    )
+    va = emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "i")
+        .join(vb, "j")
+        .where(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
+        .select("i", "j")
+    )
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     spark,

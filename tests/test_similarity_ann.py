@@ -92,3 +92,59 @@ def test_blocked_gemm_equals_fold_pairs(spark):
         for r in cosine_pairs_blocked(emb, spark, 0.4, n_blocks=4).collect()
     }
     assert base == fast
+
+
+def test_srp_neardup_equals_exact_on_tight_clusters(spark):
+    """srp_lsh_pairs at 256 bits x 32 bands on tight clusters
+    (within-cluster cos ~ 0.97): P(miss) <= (1 - p^8)^32 ~ 6e-11 per
+    pair, so the LSH output must equal the brute-force cosine set
+    exactly — the near-dup regime the operator exists for."""
+    from tabular_data_semantics_py_spark.operators.similarity import (
+        srp_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(25):
+            v = c + 0.03 * rng.normal(size=32)
+            rows.append((vid, v.astype(float).tolist()))
+            vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    emb = spark.createDataFrame(
+        pdf, "vec_id long, embedding array<double>"
+    ).localCheckpoint()
+
+    exact = {(r.i, r.j) for r in cosine_pairs(emb, 0.9).collect()}
+    assert len(exact) > 100  # the fixture really is clustered
+    lsh = {
+        (r.i, r.j)
+        for r in srp_lsh_pairs(
+            emb, spark, 0.9, n_bits=256, n_bands=32
+        ).collect()
+    }
+    assert lsh == exact
+
+
+def test_srp_hot_bucket_guard_subset(spark):
+    """max_bucket_size only ever drops pairs (recall trade), never
+    invents them, and survivors still pass the exact verify."""
+    from tabular_data_semantics_py_spark.operators.similarity import (
+        srp_lsh_pairs,
+    )
+
+    emb = spark.read.parquet(SF001).localCheckpoint()
+    full = {
+        (r.i, r.j)
+        for r in srp_lsh_pairs(emb, spark, 0.4).collect()
+    }
+    capped = {
+        (r.i, r.j)
+        for r in srp_lsh_pairs(emb, spark, 0.4, max_bucket_size=3).collect()
+    }
+    assert capped <= full
+    exact = {(r.i, r.j) for r in cosine_pairs(emb, 0.4).collect()}
+    assert full <= exact
