@@ -367,6 +367,7 @@ BENCH_QUERIES = [
     "doc_simhash",
     "doc_simhash_pairs",
     "doc_minhash_lsh_shingle",
+    "doc_curation",
     "media_meta",
     "emb_knn",
     "emb_ivf_knn",

@@ -1595,6 +1595,92 @@ def emb_cosine_pairs_fast(spark, sf_dir):
     )
 
 
+def _o_curation():
+    from .functions.text import LANG_MARKERS, STOPWORDS
+
+    marker_rows = [
+        (lang, m) for lang, ms in sorted(LANG_MARKERS.items()) for m in ms
+    ]
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH markers(lang, tok) AS (SELECT * FROM {_values(marker_rows, "lang, tok")}),
+langs(lang) AS (SELECT DISTINCT lang FROM markers),
+canon AS (
+  SELECT sha256(text) AS sha, MIN(doc_id) AS doc_id
+  FROM documents GROUP BY 1
+),
+surv AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN canon c ON c.doc_id = d.doc_id
+),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM surv),
+hits AS (
+  SELECT t.doc_id, m.lang, COUNT(*) AS h
+  FROM toks t JOIN markers m ON t.tok = m.tok GROUP BY 1, 2
+),
+scored AS (
+  SELECT s.doc_id, l.lang, COALESCE(h.h, 0) AS h
+  FROM (SELECT doc_id FROM surv) s
+  CROSS JOIN langs l
+  LEFT JOIN hits h ON h.doc_id = s.doc_id AND h.lang = l.lang
+),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, lang) AS rn
+  FROM scored
+),
+quality AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         x -> x IN ({stop_list}))) AS n_stop,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM surv
+)
+SELECT r.lang AS predicted_lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(q.n_distinct) AS BIGINT) AS total_distinct,
+       CAST(SUM(q.n_stop) AS BIGINT) AS total_stopwords
+FROM ranked r JOIN quality q USING (doc_id)
+WHERE r.rn = 1 AND q.n_tokens >= 30 AND q.n_stop >= 1
+GROUP BY 1
+"""
+
+
+@q("doc_curation", _o_curation)
+def doc_curation(spark, sf_dir):
+    """The composed corpus-curation funnel a training-data pipeline
+    actually runs — exact dedup (sha-groupBy survivor pick) →
+    language-ID → quality gate (n_tokens ≥ 30, ≥ 1 stopword) →
+    per-language integral corpus stats. Every stage is one of the
+    registry's oracle-checked operators; this query checks their
+    COMPOSITION end-to-end. All aggregates integral, so the oracle
+    hash-matches with no FP fold-order caveats. Scale shape: one
+    sha shuffle (map-side partial min), codegen lang/quality
+    expressions, and a 4-language final agg — no new shuffle beyond
+    the dedup key."""
+    from .functions.text import lang_id, quality_features
+
+    docs = _load(spark, sf_dir, "documents")
+    d = docs.withColumn("text_sha", F.sha2(F.col("text"), 256))
+    canon = d.groupBy("text_sha").agg(F.min("doc_id").alias("doc_id"))
+    surv = d.join(canon, ["text_sha", "doc_id"], "left_semi")
+    li = lang_id(surv)
+    qf = quality_features(surv)
+    return (
+        li.join(qf, "doc_id")
+        .where((F.col("n_tokens") >= 30) & (F.col("n_stopwords") >= 1))
+        .groupBy("predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_distinct").alias("total_distinct"),
+            F.sum("n_stopwords").alias("total_stopwords"),
+        )
+    )
+
+
 def _o_srp_neardup():
     """Independent recomputation of the SRP-LSH near-dup semantics
     (candidates-sharing-a-band-bucket ∩ exact cosine ≥ τ) over the
