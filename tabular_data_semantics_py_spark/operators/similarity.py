@@ -305,10 +305,17 @@ def srp_lsh_pairs(
                 {"id": pdf[id_col].to_numpy(), "keys": list(keys)}
             )
 
+    # materialize the signature pass once: it is consumed by both
+    # sides of the bucket self-join (and a third time by the
+    # hot-bucket count) — without the barrier the GEMM MapInPandas
+    # re-executes per consumer (4 scans in the physical plan), which
+    # is THE expensive stage at 10^9 vectors. Same pattern as the
+    # shared shingle stage in minhash_lsh_pairs (operators/dedup.py).
     band_rows = (
         emb.select(id_col, vec_col)
         .mapInPandas(signatures, "id long, keys array<long>")
         .select("id", F.posexplode("keys").alias("band", "bucket"))
+        .localCheckpoint()
     )
     if max_bucket_size is not None:
         hot = (
