@@ -726,11 +726,6 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
         thr = {p: counts[job] / t for p, t in times.items()}
         eff[job] = (thr[high] / thr[low]) / ideal
 
-    try:
-        load = open("/proc/loadavg").read().split()[:3]
-    except OSError:
-        load = ["?"]
-
     os.makedirs(REPO / "BENCH", exist_ok=True)
     # merge with any previously-recorded jobs (per-job invocations)
     state_path = REPO / "BENCH" / "scaling_state.json"
@@ -764,11 +759,34 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
             "passes": reps + extra,
         }
     json.dump(state, open(state_path, "w"), indent=1)
-    # Render EVERY recorded row with its own (low, high) pair: the
-    # state accumulates rows measured at different parallelism pairs
-    # and corpus scales (the efficiency-vs-per-core-work trend), so
-    # the table cannot assume this run's levels.
     eff = {j: v["efficiency"] for j, v in state.items()}
+    kg_top = write_baseline_md(state, probe_abs)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff.get("knn_similarity", 0.0), 3),
+        "unit": "ratio",
+        "queries": {
+            f"{job}_local{p}_sec": round(t, 2)
+            for job, times in best.items() for p, t in times.items()
+        },
+        "kg_pipeline_efficiency": round(eff[kg_top], 3) if kg_top else 0.0,
+        "sf": sf,
+    }))
+
+
+def write_baseline_md(state: dict, probe_abs: float = 0.15):
+    """Render BENCH/BASELINE.md from the recorded scaling state and
+    return the headline row key. Every recorded row carries its own
+    (low, high) pair and pass count — the state accumulates rows
+    measured at different parallelism pairs and corpus scales (the
+    efficiency-vs-per-core-work trend), so the table cannot assume one
+    run's levels. Standalone: `python bench.py --render-baseline`
+    regenerates the file from BENCH/scaling_state.json without
+    re-measuring."""
+    try:
+        load = open("/proc/loadavg").read().split()[:3]
+    except OSError:
+        load = ["?"]
     gates = {j: v.get("gate_passed") for j, v in state.items()}
     kg_rows = {
         k: v for k, v in state.items() if k.startswith("kg_pipeline")
@@ -791,8 +809,10 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
             "# BENCH baseline — scaling protocol (BASELINE.md)\n\n"
             "Same job, same input, two parallelism levels (local[N] "
             "vs local[4N] — each row records its own N), best of "
-            f"interleaved reps ({reps} planned + bad-weather "
-            "retries). Host load avg during the latest run: "
+            "interleaved passes (each pass runs the job best-of-2 "
+            "in-session per level; per-row pass count in the table, + "
+            "bad-weather retries). Host load avg during the latest "
+            "run: "
             f"{' '.join(load)}.\n\n"
             "Weather = host page-fault-latency probe "
             "(bench.ambient_probe: mmap+first-touch 64 MiB), in "
@@ -818,11 +838,11 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
             "discards it.\n\n"
             "| job | N vs 4N | wall@N (s) | wall@4N (s) | rows | "
             "efficiency (thr4N/thrN)/4 | bracket N/4N (s) | "
-            "in-rep N/4N (s) | gate |\n"
-            "|---|---|---|---|---|---|---|---|---|\n"
+            "in-rep N/4N (s) | passes | gate |\n"
+            "|---|---|---|---|---|---|---|---|---|---|\n"
         )
         for job, v in sorted(state.items(), key=_row_order):
-            lo, hi = v.get("low", low), v.get("high", high)
+            lo, hi = v.get("low", 2), v.get("high", 8)
             times = {int(p): t for p, t in v["times"].items()}
             pr = v.get("probe_at_best_sec", {})
             ir = v.get("probe_inrep_worst_sec", {})
@@ -834,7 +854,7 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
                 f"**{v['efficiency']:.3f}** | "
                 f"{pr.get(str(lo), '?')}/{pr.get(str(hi), '?')} | "
                 f"{ir.get(str(lo), '?')}/{ir.get(str(hi), '?')} | "
-                f"{gtxt} |\n"
+                f"{v.get('passes', '?')} | {gtxt} |\n"
             )
         if any(g is False for g in gates.values()):
             f.write(
@@ -869,28 +889,23 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
                 f"{' >= 0.8' if tv['efficiency'] >= 0.8 else ''}, "
                 f"gate {'clean' if tv.get('gate_passed') else 'FAILED'} "
                 "(brackets "
-                f"{tv['probe_at_best_sec'].get(str(tv.get('low', low)))}/"
-                f"{tv['probe_at_best_sec'].get(str(tv.get('high', high)))})"
+                f"{tv['probe_at_best_sec'].get(str(tv.get('low', 2)))}/"
+                f"{tv['probe_at_best_sec'].get(str(tv.get('high', 8)))})"
                 " — the BASELINE target row.**\n"
             )
         else:
             f.write("\n")
-    print(json.dumps({
-        "metric": "scaling_efficiency",
-        "value": round(eff.get("knn_similarity", 0.0), 3),
-        "unit": "ratio",
-        "queries": {
-            f"{job}_local{p}_sec": round(t, 2)
-            for job, times in best.items() for p, t in times.items()
-        },
-        "kg_pipeline_efficiency": round(eff[kg_top], 3) if kg_top else 0.0,
-        "sf": sf,
-    }))
+    return kg_top
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if "--render-baseline" in sys.argv:
+        state = json.load(open(REPO / "BENCH" / "scaling_state.json"))
+        kg_top = write_baseline_md(state)
+        print(f"rendered BENCH/BASELINE.md (headline: {kg_top})")
+        return
     if "--scaling" in sys.argv:
         low = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "2"))
         run_scaling(
