@@ -286,7 +286,10 @@ def srp_lsh_pairs(
     r_bits = n_bits // n_bands
     if r_bits > 63:
         raise ValueError("band keys must fit a signed long")
-    dim = len(emb.select(vec_col).first()[0])
+    head = emb.select(vec_col).first()
+    if head is None:
+        raise ValueError("srp_lsh_pairs: empty embedding table")
+    dim = len(head[0])
     bH = spark.sparkContext.broadcast(srp_hyperplanes(n_bits, dim, seed))
 
     def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
