@@ -1421,6 +1421,65 @@ def doc_minhash_lsh(spark, sf_dir):
     )
 
 
+_NEARDUP_CANONICAL_ORACLE = """
+WITH RECURSIVE ws AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS i, b.doc_id AS j,
+         len(list_intersect(a.words, b.words)) AS inter,
+         len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)) AS uni
+  FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+),
+pr AS (SELECT i, j FROM p WHERE inter >= 0.9 * uni),
+e(a, b) AS (SELECT i, j FROM pr UNION SELECT j, i FROM pr),
+n(u) AS (SELECT a FROM e),
+reach(u, v) AS (
+    SELECT u, u FROM n
+    UNION
+    SELECT r.u, e.b FROM reach r JOIN e ON e.a = r.v
+),
+comp AS (SELECT u AS node, MIN(v) AS component FROM reach GROUP BY u)
+SELECT d.doc_id AS doc_id,
+       COALESCE(c.component, d.doc_id) AS canonical_id,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+@q("doc_neardup_canonical", lambda: _NEARDUP_CANONICAL_ORACLE)
+def doc_neardup_canonical(spark, sf_dir):
+    """Near-dup cluster canonicalization — the survivor-selection tail
+    of a web-scale dedup pipeline: MinHash-LSH pairs (same config as
+    ``doc_minhash_lsh``, exact at these parameters) → connected
+    components over the pair graph (alternating large/small-star,
+    operators/components.py) → every document mapped to its cluster's
+    canonical id (min doc_id), singletons canonical to themselves.
+    A pair list alone doesn't dedup a corpus: transitive near-dup
+    chains (A~B, B~C, A̸~C) must collapse to ONE survivor, which is
+    exactly the component structure. Oracle: exact Jaccard pairs +
+    recursive-CTE reachability closure."""
+    from .operators.components import connected_components
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, 0.9, n_hashes=16, rows_per_band=1)
+    comp = connected_components(
+        pairs.select(F.col("i").alias("src"), F.col("j").alias("dst"))
+    ).withColumnRenamed("node", "doc_id")
+    canonical = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            canonical.alias("canonical_id"),
+            (canonical == F.col("doc_id")).alias("is_canonical"),
+        )
+    )
+
+
 @q(
     "doc_token_stats",
     lambda: """

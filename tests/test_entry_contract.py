@@ -21,6 +21,7 @@ SUBSET = [
     "events_sessions",
     "doc_jaccard_pairs",
     "doc_minhash_lsh",
+    "doc_neardup_canonical",
     "emb_knn",
     "doc_lang_id",
 ]
