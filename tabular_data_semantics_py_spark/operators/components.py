@@ -35,13 +35,17 @@ def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u over the SYMMETRIZED graph: m = min(Γ(u) ∪ {u});
     emit (v, m) for every neighbor v > u. Strictly-larger neighbors
     re-hang onto the local minimum; small neighbors keep their edges
-    (emitted from their own perspective)."""
-    sym = _dedup(
-        edges.unionByName(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        )
+    (emitted from their own perspective).
+
+    Precondition: ``edges`` is deduplicated with src != dst (the loop
+    guarantees it — every producer ends in ``_dedup``). The symmetric
+    union is therefore at worst 2x-duplicated (both directions present
+    in the caller's initial input only); min-agg is duplicate-
+    insensitive and the trailing ``_dedup`` absorbs the join fan-out,
+    so deduplicating ``sym`` here would be a pure extra shuffle of the
+    full edge set per iteration."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     mins = (
         sym.groupBy("src")
@@ -63,12 +67,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient every edge large→small, then for each node u with
     smaller-or-equal neighbors N: m = min(N ∪ {u}); emit (v, m) for
-    v ∈ N ∪ {u} \\ {m} — flattens local chains into stars."""
-    oriented = _dedup(
-        edges.select(
-            F.greatest("src", "dst").alias("src"),
-            F.least("src", "dst").alias("dst"),
-        )
+    v ∈ N ∪ {u} \\ {m} — flattens local chains into stars.
+
+    Precondition: ``edges`` is ``_large_star`` output — deduplicated
+    and already oriented large→small, so the greatest/least rewrite is
+    a no-op rename and re-deduplicating it would be a wasted shuffle;
+    the trailing ``_dedup`` bounds the output."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
     )
     mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
     rehung = (
@@ -107,16 +114,19 @@ def connected_components(
     nodes as (node, node) if they need total coverage.
 
     Driver state per iteration: one (count, checksum) row — O(1).
-    Lineage is truncated with an eager localCheckpoint per round so
-    the plan does not grow with iteration count (same pattern as
-    closure.build_closure_distributed's doubling loop).
+    Lineage is truncated with a LAZY localCheckpoint per round — the
+    fingerprint aggregation is the action that materializes it, so
+    each iteration costs exactly one job (an eager checkpoint would
+    add a second, count-only job per round for nothing; same
+    lineage-truncation pattern as closure.build_closure_distributed's
+    doubling loop).
     """
     cur = _dedup(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    ).localCheckpoint(True)
+    ).localCheckpoint(False)
     prev_fp = _fingerprint(cur)
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(True)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(False)
         fp = _fingerprint(nxt)
         cur = nxt
         if fp == prev_fp:

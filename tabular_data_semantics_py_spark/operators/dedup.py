@@ -154,6 +154,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     ngram: int = 1,
     max_bucket_size: int | None = None,
+    ws: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection with exact-Jaccard verification.
 
@@ -170,10 +171,15 @@ def minhash_lsh_pairs(
     buckets would otherwise explode quadratically). Recall trade-off:
     a pair is missed only if EVERY band bucket containing both docs is
     hot. None = exact banding (oracle-checked configs).
+
+    ``ws``: precomputed ``word_sets`` output (must be materialized by
+    the caller) — lets a collapse stage restrict the corpus to
+    duplicate-group representatives without re-tokenizing.
     """
     # shingle once, share between the signature and verify paths (the
     # shingle transform + scan would otherwise run 3x)
-    ws = word_sets(docs, text_col, id_col, ngram).localCheckpoint()
+    if ws is None:
+        ws = word_sets(docs, text_col, id_col, ngram).localCheckpoint()
     sig = minhash_signatures(docs, n_hashes, text_col, id_col, ngram, ws=ws)
     n_bands = n_hashes // rows_per_band
     band_rows = sig.select(
