@@ -350,6 +350,68 @@ def run_cpa_skew(spark, n_rows: int = 1_000_000, n_ent: int = 200_000):
     return out[0], out[1]
 
 
+def run_components_scale(spark, n: int = 1_000_000, path: bool = False):
+    """Scale/skew evidence for connected_components (the
+    canonicalization primitive behind kg_canonical_ids and
+    doc_neardup_canonical) at 1M nodes — two adversarial topologies:
+
+    - star hub-0 with n spokes: maximum key skew — one node carries
+      every edge, so the per-round groupBy/join concentrate on a
+      single key; map-side partial min-agg plus AQE skew-join must
+      absorb it (converges in O(1) rounds). Headline-bench default.
+    - path 0-1-2-…-n (``path=True``): maximum diameter, the worst
+      case for star-contraction round count; evidences the
+      O(log n)-rounds claim with a measured round count (Kiveris et
+      al. bound O(log² n)). NOT in the headline bench — ~log2(n)
+      rounds × per-round latency (measured 21 rounds / 44 s at 1M on
+      local[32], docs/components_rounds.md) is a worst-case stressor,
+      not a realistic identity/near-dup diameter; reproduce with
+      scripts/measure_components_rounds.py.
+
+    Returns {"star_sec", "star_rounds"} (+ "path_sec"/"path_rounds"
+    when requested). Single timed run each: one measurement already
+    spans ~rounds×2 shuffle stages, which amortizes per-action noise.
+    """
+    from pyspark.sql import functions as F
+
+    from tabular_data_semantics_py_spark.operators.components import (
+        connected_components,
+    )
+
+    def measure(edges):
+        stats: dict = {}
+        _gc(spark)
+        t0 = time.time()
+        cc = connected_components(edges, stats=stats)
+        n_nodes, n_comp = cc.agg(
+            F.count(F.lit(1)), F.countDistinct("component")
+        ).collect()[0]
+        sec = time.time() - t0
+        assert n_nodes == n and n_comp == 1, (n_nodes, n_comp)
+        return sec, stats["rounds"]
+
+    star = spark.range(1, n).select(
+        F.col("id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    # warm the plan shape (codegen + checkpoint path) on a tiny graph
+    connected_components(
+        spark.range(63).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+    ).count()
+    s_sec, s_rounds = measure(star)
+    out = {"star_sec": round(s_sec, 3), "star_rounds": s_rounds}
+    if path:
+        p_sec, p_rounds = measure(
+            spark.range(n - 1).select(
+                F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+            )
+        )
+        out["path_sec"] = round(p_sec, 3)
+        out["path_rounds"] = p_rounds
+    return out
+
+
 BENCH_QUERIES = [
     "pricing_summary",
     "order_revenue_topk",
@@ -414,6 +476,9 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
     timings["cpa_uniform"] = round(p_u, 3)
     timings["cpa_skew"] = round(p_s, 3)
 
+    comp = run_components_scale(spark)
+    timings["components_star_1m"] = comp["star_sec"]
+
     total = round(time.time() - t0, 3)
     out = {
         "metric": "bench_wall_sec",
@@ -427,6 +492,7 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
         "skew_ratio": round(sec_s / sec_u, 3),
         "vote_skew_ratio": round(v_s / v_u, 3),
         "cpa_skew_ratio": round(p_s / p_u, 3),
+        "components_star_rounds": comp["star_rounds"],
     }
     spark.stop()
     return out

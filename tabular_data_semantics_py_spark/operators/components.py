@@ -107,11 +107,14 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst) undirected edge table → (node, component) with
     component = min node id of the connected component. Every node
     incident to an edge appears exactly once; callers union isolated
-    nodes as (node, node) if they need total coverage.
+    nodes as (node, node) if they need total coverage. ``stats``, when
+    given, receives {"rounds": <iterations to convergence>} — the
+    scale-governing quantity (~log2(diameter), docs/components_rounds.md).
 
     Driver state per iteration: one (count, checksum) row — O(1).
     Lineage is truncated with a LAZY localCheckpoint per round — the
@@ -125,10 +128,12 @@ def connected_components(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     ).localCheckpoint(False)
     prev_fp = _fingerprint(cur)
+    rounds = 0
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(False)
         fp = _fingerprint(nxt)
         cur = nxt
+        rounds += 1
         if fp == prev_fp:
             break
         prev_fp = fp
@@ -137,6 +142,8 @@ def connected_components(
             f"connected_components did not converge in {max_iter} "
             "iterations (theoretical bound is O(log² n) rounds)"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     # fixed point = per-component stars centered on the min node;
     # min-agg (not dropDuplicates) so the result is deterministic
     # even on a not-quite-flattened graph

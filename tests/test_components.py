@@ -91,3 +91,25 @@ def test_label_totality_and_roots(spark):
     assert rows["a"] == rows["b"] == rows["e"] == "a"
     assert rows["c"] == rows["d"] == "c"
     assert res.groupBy("node").count().where(F.col("count") > 1).count() == 0
+
+
+def test_path_round_count_logarithmic(spark):
+    # worst-case topology: a pure path of diameter n must converge in
+    # ~log2(n) rounds (the O(log n) observed regime of the alternating
+    # star contraction; the proof bound is O(log² n)). Guards against
+    # a regression to linear per-hop propagation, which would be
+    # unusable at 10^12-node scale (docs/components_rounds.md).
+    n = 256
+    edges = [(f"p{i:04d}", f"p{i + 1:04d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    stats = {}
+    rows = {
+        r.node: r.component
+        for r in connected_components(df, stats=stats).collect()
+    }
+    assert all(c == "p0000" for c in rows.values())
+    assert len(rows) == n
+    # log2(256) = 8; measured 10 on this topology (+1 convergence
+    # confirmation round); 16 = generous headroom that still rejects
+    # anything resembling O(n) or O(log² n) behavior at this size
+    assert stats["rounds"] <= 16, stats
