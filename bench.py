@@ -87,15 +87,25 @@ def run_kg_pipeline(
     for _ in range(reps):
         _gc(spark, unpersist=True)
         dfs = load_or_build_corpus_dfs(spark, n_tables, epc)
-        pre = ambient_probe()
-        with weather_monitor() as wm:
+        if weather:
+            pre = ambient_probe()
+            with weather_monitor() as wm:
+                t0 = time.time()
+                res = run_pipeline(spark, dfs)
+                n = res.stages["triples"].count()
+                sec = time.time() - t0
+            post = ambient_probe()
+            if best is None or sec < best:
+                best, best_w = sec, (max(pre, post), wm.worst)
+        else:
+            # no probes: each is a best-of-3 64 MiB first-touch
+            # (~192 MiB of page faults) whose result would be discarded
             t0 = time.time()
             res = run_pipeline(spark, dfs)
             n = res.stages["triples"].count()
             sec = time.time() - t0
-        post = ambient_probe()
-        if best is None or sec < best:
-            best, best_w = sec, (max(pre, post), wm.worst)
+            if best is None or sec < best:
+                best = sec
     if weather:
         return best, n, best_w
     return best, n
@@ -155,24 +165,30 @@ def run_candidate_skew(spark, n_idx: int = 20_000, n_mentions: int = 50_000):
             m.alias("cell"),
         ).localCheckpoint()
 
-    # warm both plan shapes (codegen + python workers) before timing
-    for skew in (False, True):
-        _, cand = generate_candidates(
-            cells(skew).limit(500), index, max_token_df=64
-        )
-        cand.count()
+    return _interleaved_best2(
+        spark, cells,
+        lambda c: generate_candidates(c, index, max_token_df=64)[1].count(),
+        warm_rows=500,
+    )
 
-    # interleaved best-of-2 per side: the reported ratio is the skew
-    # deliverable, and a single host-weather episode (ROUND_NOTES r3)
-    # landing on one side would otherwise fake a 3-4x "regression"
+
+def _interleaved_best2(spark, build, run, warm_rows: int = 1000):
+    """Interleaved best-of-2 per side for a (uniform, skew) stress
+    pair: the reported RATIO is the skew deliverable, and a single
+    host-weather episode (ROUND_NOTES r3) landing on one side would
+    otherwise fake a 3-4x "regression". ``build(skew)`` constructs the
+    input DataFrame; ``run(df)`` executes the measured action. Both
+    plan shapes are warmed on a ``warm_rows`` slice first (codegen +
+    python workers). Returns (sec_uniform, sec_skew)."""
+    for skew in (False, True):
+        run(build(skew).limit(warm_rows))
     out = [float("inf"), float("inf")]
     for _rep in range(2):
         for i, skew in enumerate((False, True)):
-            c = cells(skew)
+            df = build(skew)
             _gc(spark)
             t0 = time.time()
-            _, cand = generate_candidates(c, index, max_token_df=64)
-            cand.count()
+            run(df)
             out[i] = min(out[i], time.time() - t0)
     return out[0], out[1]
 
@@ -248,21 +264,13 @@ def run_vote_skew(spark, n_cells: int = 2_000_000, n_ent: int = 200_000):
     prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        # warm both plan shapes (codegen + python workers) before timing
-        for skew in (False, True):
-            cta_op(cea(skew).limit(1000), ent, ms_udf, closure).count()
-        # interleaved best-of-2 per side (see run_candidate_skew)
-        out = [float("inf"), float("inf")]
-        for _rep in range(2):
-            for i, skew in enumerate((False, True)):
-                c = cea(skew)
-                _gc(spark)
-                t0 = time.time()
-                cta_op(c, ent, ms_udf, closure).count()
-                out[i] = min(out[i], time.time() - t0)
+        out = _interleaved_best2(
+            spark, cea,
+            lambda c: cta_op(c, ent, ms_udf, closure).count(),
+        )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
-    return out[0], out[1]
+    return out
 
 
 def run_cpa_skew(spark, n_rows: int = 1_000_000, n_ent: int = 200_000):
@@ -333,21 +341,12 @@ def run_cpa_skew(spark, n_rows: int = 1_000_000, n_ent: int = 200_000):
     prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        # warm both plan shapes (codegen + python workers) before timing
-        for skew in (False, True):
-            cpa_op(cea(skew).limit(1000), kg).count()
-        # interleaved best-of-2 per side (see run_candidate_skew)
-        out = [float("inf"), float("inf")]
-        for _rep in range(2):
-            for i, skew in enumerate((False, True)):
-                c = cea(skew)
-                _gc(spark)
-                t0 = time.time()
-                cpa_op(c, kg).count()
-                out[i] = min(out[i], time.time() - t0)
+        out = _interleaved_best2(
+            spark, cea, lambda c: cpa_op(c, kg).count()
+        )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
-    return out[0], out[1]
+    return out
 
 
 def run_components_scale(spark, n: int = 1_000_000, path: bool = False):
@@ -827,9 +826,15 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
     json.dump(state, open(state_path, "w"), indent=1)
     eff = {j: v["efficiency"] for j, v in state.items()}
     kg_top = write_baseline_md(state, probe_abs)
+    # headline value = THIS run's knn row under the label it was
+    # actually stored as (pair-suffixed for non-default (low, high)) —
+    # eff["knn_similarity"] would silently read a stale 2v8 row (or
+    # 0.0) when running e.g. SPARK_GRAFT_SCALING_LOW=1
+    knn_label = "knn_similarity" if (low, high) == (2, 8) \
+        else f"knn_similarity_{low}v{high}"
     print(json.dumps({
         "metric": "scaling_efficiency",
-        "value": round(eff.get("knn_similarity", 0.0), 3),
+        "value": round(eff.get(knn_label, eff.get("knn_similarity", 0.0)), 3),
         "unit": "ratio",
         "queries": {
             f"{job}_local{p}_sec": round(t, 2)
@@ -969,7 +974,13 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if "--render-baseline" in sys.argv:
         state = json.load(open(REPO / "BENCH" / "scaling_state.json"))
-        kg_top = write_baseline_md(state)
+        # gate header must describe the gate the rows were RECORDED
+        # under, not the current default (rows store it per-run)
+        gates = [
+            v["probe_abs_gate_sec"] for v in state.values()
+            if v.get("probe_abs_gate_sec") is not None
+        ]
+        kg_top = write_baseline_md(state, max(gates) if gates else 0.15)
         print(f"rendered BENCH/BASELINE.md (headline: {kg_top})")
         return
     if "--scaling" in sys.argv:

@@ -2,25 +2,28 @@
 that the exact-match candidates equi-join plans with NO Exchange above
 the bucketed lexical-index scan (sources/bucketed.py; SURVEY.md §4.2).
 
+Fixture, explain capture, and the Exchange-node count are shared with
+tests/test_bucketed_index.py via sources/bucketed.py, so the artifact
+always demonstrates exactly what the test asserts.
+
 Usage: python scripts/capture_explain_bucketed.py
 """
 
-import io
 import os
 import sys
 import tempfile
-from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-from pyspark.sql import functions as F  # noqa: E402
 
 from tabular_data_semantics_py_spark.operators.candidates import (  # noqa: E402
     build_index_keys,
 )
 from tabular_data_semantics_py_spark.session import get_spark  # noqa: E402
 from tabular_data_semantics_py_spark.sources.bucketed import (  # noqa: E402
+    count_exchanges,
+    demo_entity_index,
     exact_match_bucketed,
+    formatted_explain,
     write_bucketed_index,
 )
 
@@ -29,16 +32,7 @@ def main() -> None:
     spark = get_spark(app_name="explain-bucketed", master="local[4]",
                       shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    rows = [
-        (f"http://x/e{i}", f"Alpha Beta {i}", [f"ab {i}"], [], None, False, i)
-        for i in range(500)
-    ]
-    index = spark.createDataFrame(
-        rows,
-        "uri string, label string, aliases array<string>, "
-        "types array<string>, redirect_to string, "
-        "is_disambiguation boolean, popularity int",
-    )
+    index = demo_entity_index(spark, n=500)
     with tempfile.TemporaryDirectory() as td:
         write_bucketed_index(
             build_index_keys(index), table="tds_index_keys_demo",
@@ -51,18 +45,12 @@ def main() -> None:
         # a 10^8-row index can never broadcast — show the shuffle shape
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         plan = exact_match_bucketed(spark, mentions, "tds_index_keys_demo")
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            plan.explain("formatted")
-        txt = buf.getvalue()
+        txt = formatted_explain(plan)
         sys.stdout.write(txt)
-        import re
-
-        n_exchange = len(re.findall(r"\(\d+\) Exchange", txt))
         sys.stdout.write(
-            f"\n-- {n_exchange} Exchange(s) in the plan: the mention side "
-            "shuffles into the bucket layout; the index scan "
-            "(Bucketed: true) has none above it.\n"
+            f"\n-- {count_exchanges(txt)} Exchange(s) in the plan: the "
+            "mention side shuffles into the bucket layout; the index "
+            "scan (Bucketed: true) has none above it.\n"
         )
         spark.sql("DROP TABLE IF EXISTS tds_index_keys_demo")
     spark.stop()

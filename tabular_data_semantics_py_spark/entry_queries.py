@@ -142,7 +142,15 @@ def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def _oracle_sf_dir() -> str:
     """sf-dir for oracles that recompute scalar-side: explicit env
     override > the sf_dir the driver last passed to a query > the
-    driver's correctness-gate default (sf0.01)."""
+    driver's correctness-gate default (sf0.01).
+
+    Ordering caveat: oracle strings are BUILT when oracle_sql() is
+    called, so a harness that builds all oracles before running any
+    query sees the fallback chain, not the per-query sf. Both real
+    harnesses are safe — the driver compares at sf0.01 (= the
+    default), and tests/driver_mirror.py exports TDS_ORACLE_SF_DIR for
+    the sf it drives. A new harness comparing at another sf must do
+    one of those two things."""
     env = os.environ.get("TDS_ORACLE_SF_DIR")
     if env:
         return env

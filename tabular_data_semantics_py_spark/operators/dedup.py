@@ -145,6 +145,55 @@ def minhash_signatures(
     return tok.groupBy("id").agg(*aggs)
 
 
+def band_candidate_pairs(
+    band_rows: DataFrame,
+    max_bucket_size: int | None = None,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """The LSH banding tail shared by every bucketed similarity family
+    (MinHash word sets, SimHash Hamming blocks, SRP embedding
+    signatures): optionally drop hot buckets, self-join on
+    (band, bucket), keep i < j, dedup candidates across bands.
+
+    ``band_rows``: (id, band, bucket [, carry…]). ``carry`` columns
+    ride along as <c>_i / <c>_j for the caller's verify stage (e.g.
+    the SimHash fingerprint). ``max_bucket_size`` is the standard
+    hot-bucket guard — buckets with more members are skipped, bounding
+    candidate fan-out to O(bands · members) under massive duplicate
+    clusters; a pair is missed only if EVERY bucket containing both
+    docs is hot. → (i, j [, carry_i…, carry_j…]), one row per pair."""
+    if max_bucket_size is not None:
+        hot = (
+            band_rows.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        band_rows = band_rows.join(
+            F.broadcast(hot), ["band", "bucket"], "left_anti"
+        )
+    l = band_rows.select(
+        F.col("id").alias("i"),
+        *[F.col(c).alias(f"{c}_i") for c in carry],
+        "band", "bucket",
+    )
+    r = band_rows.select(
+        F.col("id").alias("j"),
+        *[F.col(c).alias(f"{c}_j") for c in carry],
+        "band", "bucket",
+    )
+    return (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("i") < F.col("j"))
+        .select(
+            "i", "j",
+            *[f"{c}_i" for c in carry],
+            *[f"{c}_j" for c in carry],
+        )
+        .dropDuplicates(["i", "j"])
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float,
@@ -201,24 +250,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    if max_bucket_size is not None:
-        hot = (
-            band_rows.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > max_bucket_size)
-            .select("band", "bucket")
-        )
-        band_rows = band_rows.join(
-            F.broadcast(hot), ["band", "bucket"], "left_anti"
-        )
-    l = band_rows.select(F.col("id").alias("i"), "band", "bucket")
-    r = band_rows.select(F.col("id").alias("j"), "band", "bucket")
-    cand = (
-        l.join(r, ["band", "bucket"])
-        .where(F.col("i") < F.col("j"))
-        .select("i", "j")
-        .dropDuplicates(["i", "j"])
-    )
+    cand = band_candidate_pairs(band_rows, max_bucket_size)
     # exact verify on candidates only
     wa = ws.select(F.col("id").alias("i"), F.col("words").alias("wi"))
     wb = ws.select(F.col("id").alias("j"), F.col("words").alias("wj"))
@@ -280,27 +312,13 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.bucket")
-    if max_bucket_size is not None:
-        hot = (
-            band_rows.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > max_bucket_size)
-            .select("band", "bucket")
-        )
-        band_rows = band_rows.join(
-            F.broadcast(hot), ["band", "bucket"], "left_anti"
-        )
-    l = band_rows.select(F.col("id").alias("i"), F.col("simhash").alias("si"),
-                         "band", "bucket")
-    r = band_rows.select(F.col("id").alias("j"), F.col("simhash").alias("sj"),
-                         "band", "bucket")
     return (
-        l.join(r, ["band", "bucket"])
-        .where(F.col("i") < F.col("j"))
-        .dropDuplicates(["i", "j"])
+        band_candidate_pairs(band_rows, max_bucket_size, carry=("simhash",))
         .withColumn(
             "hamming",
-            F.bit_count(F.col("si").bitwiseXOR(F.col("sj"))).cast("int"),
+            F.bit_count(
+                F.col("simhash_i").bitwiseXOR(F.col("simhash_j"))
+            ).cast("int"),
         )
         .where(F.col("hamming") <= max_hamming)
         .select("i", "j", "hamming")

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .dedup import band_candidate_pairs
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -320,24 +322,7 @@ def srp_lsh_pairs(
         .select("id", F.posexplode("keys").alias("band", "bucket"))
         .localCheckpoint()
     )
-    if max_bucket_size is not None:
-        hot = (
-            band_rows.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > max_bucket_size)
-            .select("band", "bucket")
-        )
-        band_rows = band_rows.join(
-            F.broadcast(hot), ["band", "bucket"], "left_anti"
-        )
-    l = band_rows.select(F.col("id").alias("i"), "band", "bucket")
-    r = band_rows.select(F.col("id").alias("j"), "band", "bucket")
-    cand = (
-        l.join(r, ["band", "bucket"])
-        .where(F.col("i") < F.col("j"))
-        .select("i", "j")
-        .dropDuplicates(["i", "j"])
-    )
+    cand = band_candidate_pairs(band_rows, max_bucket_size)
     va = emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
     return (

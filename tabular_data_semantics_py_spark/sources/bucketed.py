@@ -66,3 +66,43 @@ def exact_match_bucketed(
         mentions.join(idx, mentions.mention_norm == idx.key_norm)
         .select("mention_norm", "uri", F.lit(1.0).alias("score"))
     )
+
+
+def demo_entity_index(spark: SparkSession, n: int = 200) -> DataFrame:
+    """The synthetic entity-index slice that both the committed
+    evidence artifact (scripts/capture_explain_bucketed.py →
+    docs/explain_bucketed_index.txt) and the guarding test
+    (tests/test_bucketed_index.py) build the bucketed table from —
+    shared so the artifact always demonstrates exactly what the test
+    asserts."""
+    rows = [
+        (f"http://x/e{i}", f"Alpha Beta {i}", [f"ab {i}"], [], None,
+         False, i)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "uri string, label string, aliases array<string>, "
+        "types array<string>, redirect_to string, "
+        "is_disambiguation boolean, popularity int",
+    )
+
+
+def formatted_explain(df: DataFrame) -> str:
+    """``df.explain("formatted")`` captured as a string."""
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def count_exchanges(plan_text: str) -> int:
+    """Number of Exchange NODES in a formatted explain. Counts node
+    ids, not substring occurrences — the formatted form prints each
+    node twice (tree + detail section)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", plan_text))
