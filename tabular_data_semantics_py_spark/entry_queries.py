@@ -1467,57 +1467,14 @@ def doc_neardup_canonical(spark, sf_dir):
     A pair list alone doesn't dedup a corpus: transitive near-dup
     chains (A~B, B~C, A̸~C) must collapse to ONE survivor, which is
     exactly the component structure. Oracle: exact Jaccard pairs +
-    recursive-CTE reachability closure.
-
-    Scale shape — collapse-before-pair: duplicate clusters make the
-    verified-pair list quadratic (a cluster of c docs is a c²/2-edge
-    near-clique; measured 965k pairs over 5k docs at sf0.1), but for
-    CANONICALIZATION only connectivity matters, so docs with identical
-    word sets (set-Jaccard 1, invariant under word order/repeats) are
-    first collapsed onto a representative via O(n) star edges and the
-    LSH+verify stage runs over representatives only (33x fewer pairs
-    at sf0.1). Components are provably unchanged: star edges are J=1
-    ≥ t edges of the oracle graph, and J(rep, x) = J(member, x)
-    because the word sets are equal — so every oracle edge (a, b) maps
-    to the path a—rep(a)—rep(b)—b. This is the exactness-preserving
-    analogue of the max_bucket_size recall guard."""
-    from .operators.components import connected_components
-    from .operators.dedup import minhash_lsh_pairs, word_sets
+    recursive-CTE reachability closure. The collapse-before-pair scale
+    shape (identical word sets → representative star edges, LSH over
+    representatives only — components provably unchanged, 33x fewer
+    verified pairs at sf0.1) lives in the operator's docstring."""
+    from .operators.dedup import near_dup_canonicalize
 
     docs = _load(spark, sf_dir, "documents")
-    ws = word_sets(docs).localCheckpoint()
-    # injective word-set key: tokens are space-split, so a space-joined
-    # sorted set is collision-free (sha2 only shortens the shuffle key)
-    keyed = ws.select(
-        "id",
-        F.sha2(F.concat_ws(" ", F.array_sort("words")), 256).alias("wkey"),
-    )
-    reps = keyed.groupBy("wkey").agg(F.min("id").alias("rep"))
-    stars = (
-        keyed.join(reps, "wkey")
-        .where(F.col("id") != F.col("rep"))
-        .select(F.col("id").alias("src"), F.col("rep").alias("dst"))
-    )
-    ws_reps = ws.join(
-        reps.select(F.col("rep").alias("id")), "id"
-    ).localCheckpoint()
-    pairs = minhash_lsh_pairs(
-        docs, 0.9, n_hashes=16, rows_per_band=1, ws=ws_reps
-    )
-    edges = stars.unionByName(
-        pairs.select(F.col("i").alias("src"), F.col("j").alias("dst"))
-    )
-    comp = connected_components(edges).withColumnRenamed("node", "doc_id")
-    canonical = F.coalesce(F.col("component"), F.col("doc_id"))
-    return (
-        docs.select("doc_id")
-        .join(comp, "doc_id", "left")
-        .select(
-            "doc_id",
-            canonical.alias("canonical_id"),
-            (canonical == F.col("doc_id")).alias("is_canonical"),
-        )
-    )
+    return near_dup_canonicalize(docs, 0.9, n_hashes=16, rows_per_band=1)
 
 
 @q(

@@ -17,6 +17,10 @@ Scale design notes
   recall is governed by (n_hashes, rows_per_band).
 - SimHash: vectorized numpy pandas UDF (bit tricks don't fit Spark
   expressions cleanly); output is a 64-bit fingerprint column.
+- canonicalization: ``near_dup_canonicalize`` composes the above with
+  connected components into the survivor-selection tail a corpus
+  dedup actually needs (pair lists alone don't dedup transitive
+  chains), with a component-preserving duplicate collapse up front.
 """
 
 from __future__ import annotations
@@ -143,6 +147,77 @@ def minhash_signatures(
         for i in range(n_hashes)
     ]
     return tok.groupBy("id").agg(*aggs)
+
+
+def near_dup_canonicalize(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    n_hashes: int = 16,
+    rows_per_band: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Corpus canonicalization — the survivor-selection tail of a
+    web-scale dedup pipeline: near-dup pairs → connected components →
+    every document mapped to its cluster's canonical id (min id),
+    singletons canonical to themselves. A pair list alone doesn't
+    dedup a corpus: transitive near-dup chains (A~B, B~C, A̸~C) must
+    collapse to ONE survivor, which is exactly the component
+    structure. → (id_col, canonical_id, is_canonical).
+
+    Scale shape — collapse-before-pair: duplicate clusters make the
+    verified-pair list quadratic (a cluster of c docs is a c²/2-edge
+    near-clique; measured 965k pairs over 5k docs at sf0.1), but for
+    canonicalization only CONNECTIVITY matters, so docs with identical
+    word sets (set-Jaccard 1, invariant under word order/repeats) are
+    first collapsed onto a representative via O(n) star edges and the
+    LSH+verify stage runs over representatives only (33x fewer pairs
+    at sf0.1). Components are provably unchanged: star edges are J=1
+    ≥ t edges of the exact-Jaccard graph, and J(rep, x) = J(member, x)
+    because the word sets are equal — every exact edge (a, b) maps to
+    the path a—rep(a)—rep(b)—b. This is the exactness-preserving
+    complement of the ``max_bucket_size`` recall guard.
+    """
+    from .components import connected_components
+
+    ws = word_sets(docs, text_col, id_col, ngram).localCheckpoint()
+    # injective word-set key: tokens can't contain the space splitter,
+    # so a space-joined sorted set is collision-free (sha2 only
+    # shortens the shuffle key)
+    keyed = ws.select(
+        "id",
+        F.sha2(F.concat_ws(" ", F.array_sort("words")), 256).alias("wkey"),
+    )
+    reps = keyed.groupBy("wkey").agg(F.min("id").alias("rep"))
+    stars = (
+        keyed.join(reps, "wkey")
+        .where(F.col("id") != F.col("rep"))
+        .select(F.col("id").alias("src"), F.col("rep").alias("dst"))
+    )
+    ws_reps = ws.join(
+        reps.select(F.col("rep").alias("id")), "id"
+    ).localCheckpoint()
+    pairs = minhash_lsh_pairs(
+        docs, threshold, n_hashes=n_hashes, rows_per_band=rows_per_band,
+        text_col=text_col, id_col=id_col, ngram=ngram,
+        max_bucket_size=max_bucket_size, ws=ws_reps,
+    )
+    edges = stars.unionByName(
+        pairs.select(F.col("i").alias("src"), F.col("j").alias("dst"))
+    )
+    comp = connected_components(edges).withColumnRenamed("node", id_col)
+    canonical = F.coalesce(F.col("component"), F.col(id_col))
+    return (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            canonical.alias("canonical_id"),
+            (canonical == F.col(id_col)).alias("is_canonical"),
+        )
+    )
 
 
 def band_candidate_pairs(
