@@ -1646,9 +1646,7 @@ def emb_cosine_pairs_fast(spark, sf_dir):
     interpreted expression evaluation."""
     from .operators.similarity import cosine_pairs_blocked
 
-    return cosine_pairs_blocked(
-        _load(spark, sf_dir, "embeddings"), spark, 0.4
-    )
+    return cosine_pairs_blocked(_load(spark, sf_dir, "embeddings"), 0.4)
 
 
 def _o_curation():

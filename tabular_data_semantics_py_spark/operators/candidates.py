@@ -58,7 +58,14 @@ def build_index_keys(
         "uri",
         "popularity",
         F.explode(
-            F.array_union(F.array(F.col("label")), F.col("aliases"))
+            # coalesce: array_union(x, NULL) is NULL, so an entity
+            # with NULL aliases (legal under the nullable source
+            # schemas) would otherwise lose its LABEL key too and
+            # become unmatchable by both the exact and fuzzy paths
+            F.array_union(
+                F.array(F.col("label")),
+                F.coalesce(F.col("aliases"), F.array().cast("array<string>")),
+            )
         ).alias("key_raw"),
     ).withColumn("key_prenorm", prenorm_expr(F.col("key_raw")))
     bridge = (
@@ -162,12 +169,9 @@ def generate_candidates(
         "uri", "key_norm", F.explode(F.split(F.col("key_norm"), " ")).alias("tok")
     )
     if max_token_df is not None:
-        hot = (
-            i_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_token_df)
-            .select("tok")
-        )
-        i_tok = i_tok.join(F.broadcast(hot), "tok", "left_anti")
+        from .dedup import drop_hot_keys
+
+        i_tok = drop_hot_keys(i_tok, ["tok"], max_token_df)
     # Pin the dedup shuffle's width on a prefix of the dedup keys:
     # AQE's byte-based partition coalescing is blind to the per-row
     # *Python* cost of the scorer below — at fixture scale it packs

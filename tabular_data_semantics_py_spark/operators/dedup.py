@@ -92,37 +92,57 @@ def jaccard_pairs(
     baseline the LSH variant is verified against.
 
     ``max_token_df``: drop tokens appearing in more than this many
-    docs from the *pairing* index (hot-token cap for scale); the
-    Jaccard itself stays exact because set sizes come from the full
-    sets and the intersection is re-counted per pair over all shared
-    tokens — only pairs sharing *solely* capped tokens can be missed,
-    which is the documented recall trade-off at web scale. Default
-    None = fully exact.
+    docs from the *pairing* index (hot-token cap for scale). The cap
+    governs CANDIDATE GENERATION ONLY — surviving candidates are
+    re-verified with an exact intersection over the FULL word sets,
+    so emitted (inter, uni) values are always exact and only pairs
+    sharing *solely* capped tokens can be missed (the documented
+    recall trade-off at web scale). Default None = fully exact.
     """
     ws = word_sets(docs, text_col, id_col)
     sizes = ws.select("id", F.size("words").alias("n"))
     tok = ws.select("id", F.explode("words").alias("w"))
-    if max_token_df is not None:
-        hot = (
-            tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_token_df)
-            .select("w")
+    if max_token_df is None:
+        # fully exact: the shared-token count over the complete index
+        # IS the intersection — one agg, no array re-intersection
+        a = tok.select(F.col("id").alias("i"), "w")
+        b = tok.select(F.col("id").alias("j"), "w")
+        inter = (
+            a.join(b, "w")
+            .where(F.col("i") < F.col("j"))
+            .groupBy("i", "j")
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
-        tok = tok.join(F.broadcast(hot), "w", "left_anti")
+        sa = sizes.select(F.col("id").alias("i"), F.col("n").alias("ni"))
+        sb = sizes.select(F.col("id").alias("j"), F.col("n").alias("nj"))
+        return (
+            inter.join(sa, "i")
+            .join(sb, "j")
+            .withColumn("uni", F.col("ni") + F.col("nj") - F.col("inter"))
+            .where(F.col("inter") >= F.lit(threshold) * F.col("uni"))
+            .select("i", "j", "inter", "uni")
+        )
+    # capped: the shared-token count over the CAPPED index undercounts
+    # the true intersection (a pair sharing hot AND cold tokens would
+    # get wrong inter/uni and could be dropped despite being above
+    # threshold), so the capped index only generates candidates and
+    # the intersection is recomputed exactly from the full sets
+    tok = drop_hot_keys(tok, ["w"], max_token_df)
     a = tok.select(F.col("id").alias("i"), "w")
     b = tok.select(F.col("id").alias("j"), "w")
-    inter = (
+    cand = (
         a.join(b, "w")
         .where(F.col("i") < F.col("j"))
-        .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select("i", "j")
+        .dropDuplicates(["i", "j"])
     )
-    sa = sizes.select(F.col("id").alias("i"), F.col("n").alias("ni"))
-    sb = sizes.select(F.col("id").alias("j"), F.col("n").alias("nj"))
+    wa = ws.select(F.col("id").alias("i"), F.col("words").alias("wi"))
+    wb = ws.select(F.col("id").alias("j"), F.col("words").alias("wj"))
     return (
-        inter.join(sa, "i")
-        .join(sb, "j")
-        .withColumn("uni", F.col("ni") + F.col("nj") - F.col("inter"))
+        cand.join(wa, "i")
+        .join(wb, "j")
+        .withColumn("inter", F.size(F.array_intersect("wi", "wj")))
+        .withColumn("uni", F.size("wi") + F.size("wj") - F.col("inter"))
         .where(F.col("inter") >= F.lit(threshold) * F.col("uni"))
         .select("i", "j", "inter", "uni")
     )
@@ -147,6 +167,22 @@ def minhash_signatures(
         for i in range(n_hashes)
     ]
     return tok.groupBy("id").agg(*aggs)
+
+
+def drop_hot_keys(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """The standard hot-key guard shared by every blocked/bucketed
+    pairing path (token inverted index, LSH band buckets, candidate
+    blocking): drop ALL rows of keys appearing more than ``cap``
+    times, bounding pair fan-out to O(cap · rows) under Zipf heads /
+    boilerplate clusters. The hot-key set is tiny (the distribution's
+    head) → broadcast anti-join, no shuffle of ``df``."""
+    hot = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > cap)
+        .select(*key_cols)
+    )
+    return df.join(F.broadcast(hot), key_cols, "left_anti")
 
 
 def near_dup_canonicalize(
@@ -182,7 +218,17 @@ def near_dup_canonicalize(
     """
     from .components import connected_components
 
-    ws = word_sets(docs, text_col, id_col, ngram).localCheckpoint()
+    # NULL-text docs have no word set: they can pair with nothing
+    # (exact Jaccard over NULL is undefined/false), so they are
+    # excluded from keying AND pairing and fall out of the final left
+    # join as self-canonical singletons. Without the filter, a NULL
+    # set and the empty-text set [''] would both key to sha2("") and
+    # be wrongly collapsed as J=1 duplicates.
+    ws = (
+        word_sets(docs, text_col, id_col, ngram)
+        .where(F.col("words").isNotNull())
+        .localCheckpoint()
+    )
     # injective word-set key: tokens can't contain the space splitter,
     # so a space-joined sorted set is collision-free (sha2 only
     # shortens the shuffle key)
@@ -238,15 +284,8 @@ def band_candidate_pairs(
     clusters; a pair is missed only if EVERY bucket containing both
     docs is hot. → (i, j [, carry_i…, carry_j…]), one row per pair."""
     if max_bucket_size is not None:
-        hot = (
-            band_rows.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > max_bucket_size)
-            .select("band", "bucket")
-        )
-        band_rows = band_rows.join(
-            F.broadcast(hot), ["band", "bucket"], "left_anti"
-        )
+        band_rows = drop_hot_keys(band_rows, ["band", "bucket"],
+                                  max_bucket_size)
     l = band_rows.select(
         F.col("id").alias("i"),
         *[F.col(c).alias(f"{c}_i") for c in carry],
@@ -302,6 +341,14 @@ def minhash_lsh_pairs(
     """
     # shingle once, share between the signature and verify paths (the
     # shingle transform + scan would otherwise run 3x)
+    if n_hashes % rows_per_band != 0:
+        # silently truncating to n_hashes // rows_per_band bands would
+        # ignore trailing signature rows and deliver a worse P(miss)
+        # than the formula above advertises
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be a multiple of "
+            f"rows_per_band ({rows_per_band})"
+        )
     if ws is None:
         ws = word_sets(docs, text_col, id_col, ngram).localCheckpoint()
     sig = minhash_signatures(docs, n_hashes, text_col, id_col, ngram, ws=ws)
@@ -366,7 +413,14 @@ def simhash_pairs(
 
     → (i, j, hamming), i < j.
     """
-    assert 64 % n_bands == 0 and max_hamming < n_bands
+    if 64 % n_bands != 0 or max_hamming >= n_bands:
+        # a bare assert would be stripped under python -O, silently
+        # dropping pairs whose differing bits touch every block
+        raise ValueError(
+            f"need 64 % n_bands == 0 and max_hamming < n_bands for "
+            f"pigeonhole exactness (got n_bands={n_bands}, "
+            f"max_hamming={max_hamming})"
+        )
     bits = 64 // n_bands
     mask = (1 << bits) - 1
     sig = simhash64(docs, text_col, id_col)

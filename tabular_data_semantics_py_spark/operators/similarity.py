@@ -68,18 +68,9 @@ def knn_bruteforce(
 ) -> DataFrame:
     """→ (query_id, neighbor_id, rank): exact top-k cosine neighbors
     for the given query ids. The query side is tiny → broadcast
-    nested-loop join; rank ties broken by neighbor id.
-
-    Top-k is a TWO-PHASE reduction, not a window: phase 1 takes each
-    scan partition's local top-k per query (array_sort of a
-    partition-bounded collect_list — no shuffle), phase 2 merges the
-    partitions x k survivors per query. A
-    ``row_number() over (partition by query_id)`` would instead
-    shuffle ALL n scored rows to one task per query and sort them
-    there — the single-task-sort shape that breaks at 10^9 vectors
-    (same fix as the fragment caps, operators/fragment.py). Exact
-    same rows out: top-k with a deterministic (cos desc, id asc)
-    order is plan-independent.
+    nested-loop join; rank ties broken by neighbor id. Top-k is the
+    shared two-phase reduction (``_two_phase_topk``), never a
+    single-task window sort.
     """
     q = emb.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -89,11 +80,26 @@ def knn_bruteforce(
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
     )
-    # ascending (-cos, neighbor_id) == (cos desc, neighbor_id asc);
-    # SQL comparison treats -0.0 == 0.0, so the negation cannot flip
-    # any ordering the window formulation wouldn't also flip
+    return _two_phase_topk(scored, "neighbor_id", k)
+
+
+def _two_phase_topk(scored: DataFrame, nid_col: str, k: int) -> DataFrame:
+    """(query_id, <nid_col>, cos) → (query_id, neighbor_id, rank):
+    exact per-query top-k by (cos desc, neighbor id asc), shared by
+    the brute-force and IVF paths. Ascending (-cos, nid) == the
+    desired order; SQL comparison treats -0.0 == 0.0, so the negation
+    cannot flip any ordering a window formulation wouldn't also flip.
+
+    Phase 1 takes each scan partition's local top-k per query
+    (array_sort of a partition-bounded collect_list — no shuffle),
+    phase 2 merges the partitions x k survivors per query. A
+    ``row_number() over (partition by query_id)`` would instead
+    shuffle ALL n scored rows to one task per query and sort them
+    there — the single-task-sort shape that breaks at 10^9 vectors
+    (same fix as the fragment caps, operators/topk.py). Exact same
+    rows out: top-k with a deterministic order is plan-independent."""
     key = F.struct(
-        (-F.col("cos")).alias("nc"), F.col("neighbor_id").alias("nid")
+        (-F.col("cos")).alias("nc"), F.col(nid_col).alias("nid")
     )
     local = scored.groupBy(
         "query_id", F.spark_partition_id().alias("_pid")
@@ -114,7 +120,6 @@ def knn_bruteforce(
 
 def cosine_pairs_blocked(
     emb: DataFrame,
-    spark,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -436,6 +441,15 @@ def ivf_knn(
     """
     import numpy as np
 
+    q_rows = emb.where(F.col(id_col).isin(query_ids)).collect()
+    if not q_rows:
+        # empty/unknown query set: return an empty result with the
+        # normal schema (knn_bruteforce degrades the same way) rather
+        # than letting numpy raise on a zero-row matrix
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int"
+        )
+
     Cn = train_ivf_centroids(
         emb, spark, n_centroids, kmeans_iters, seed, id_col, vec_col
     )
@@ -457,7 +471,6 @@ def ivf_knn(
         assign, f"{id_col} long, {vec_col} array<double>, centroid int"
     )
 
-    q_rows = emb.where(F.col(id_col).isin(query_ids)).collect()
     Q = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):
         Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -485,22 +498,4 @@ def ivf_knn(
         .where(F.col(id_col) != F.col("query_id"))
         .withColumn("cos", cosine_expr(F.col("qv"), F.col(vec_col)))
     )
-    # two-phase top-k (same shape as knn_bruteforce): per-partition
-    # local top-k, then merge partitions x k survivors per query — no
-    # single-task sort of a query's whole probe set
-    key = F.struct((-F.col("cos")).alias("nc"), F.col(id_col).alias("nid"))
-    local = cand.groupBy(
-        "query_id", F.spark_partition_id().alias("_pid")
-    ).agg(F.slice(F.array_sort(F.collect_list(key)), 1, k).alias("top"))
-    merged = (
-        local.select("query_id", F.explode("top").alias("s"))
-        .groupBy("query_id")
-        .agg(F.slice(F.array_sort(F.collect_list("s")), 1, k).alias("top"))
-    )
-    return merged.select(
-        "query_id", F.posexplode("top").alias("pos", "s")
-    ).select(
-        "query_id",
-        F.col("s.nid").alias("neighbor_id"),
-        (F.col("pos") + 1).cast("int").alias("rank"),
-    )
+    return _two_phase_topk(cand, id_col, k)

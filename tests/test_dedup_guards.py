@@ -156,3 +156,68 @@ def test_simhash_fold_both_paths_match_scalar(spark):
         got = {r.id: r.simhash for r in simhash64(df).collect()}
         for i, t in enumerate(texts):
             assert got[i] == ref(t), (i, t)
+
+
+def test_capped_jaccard_is_exact_on_hot_cold_mix(spark):
+    # a pair sharing a HOT token and a cold token must survive the
+    # max_token_df cap with exact (inter, uni): the cap may only
+    # govern candidate generation, never the emitted values. Here
+    # 'the' (df=3) is capped; true J(1,2) = 2/3 >= 0.6 via the shared
+    # cold token 'x' — the old capped-index intersection undercounted
+    # inter to 1 and dropped the pair.
+    from tabular_data_semantics_py_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the x"), (2, "the x y"), (3, "the z")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.i, r.j): (r.inter, r.uni)
+        for r in jaccard_pairs(docs, 0.6, max_token_df=2).collect()
+    }
+    assert got == {(1, 2): (2, 3)}
+    # uncapped baseline agrees
+    exact = {
+        (r.i, r.j): (r.inter, r.uni)
+        for r in jaccard_pairs(docs, 0.6).collect()
+    }
+    assert exact == got
+
+
+def test_canonicalize_null_text_is_singleton(spark):
+    # NULL text has no word set — it must stay a self-canonical
+    # singleton, NOT collapse with the empty-text doc (whose word set
+    # is ['']; both used to key to sha2("")). Two empty-text docs ARE
+    # J=1 duplicates of each other.
+    from tabular_data_semantics_py_spark.operators.dedup import (
+        near_dup_canonicalize,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, ""), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.canonical_id, r.is_canonical)
+        for r in near_dup_canonicalize(docs, 0.9).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (2, True), 3: (2, False), 4: (4, True)
+    }
+
+
+def test_banding_config_validation(spark):
+    import pytest
+
+    from tabular_data_semantics_py_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="multiple of"):
+        minhash_lsh_pairs(docs, 0.9, n_hashes=16, rows_per_band=3)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, max_hamming=4, n_bands=4)

@@ -89,7 +89,7 @@ def test_blocked_gemm_equals_fold_pairs(spark):
     base = {(r.i, r.j) for r in cosine_pairs(emb, 0.4).collect()}
     fast = {
         (r.i, r.j)
-        for r in cosine_pairs_blocked(emb, spark, 0.4, n_blocks=4).collect()
+        for r in cosine_pairs_blocked(emb, 0.4, n_blocks=4).collect()
     }
     assert base == fast
 
@@ -148,3 +148,13 @@ def test_srp_hot_bucket_guard_subset(spark):
     assert capped <= full
     exact = {(r.i, r.j) for r in cosine_pairs(emb, 0.4).collect()}
     assert full <= exact
+
+
+def test_ivf_knn_empty_query_set(spark):
+    """Empty / unknown query ids degrade to an empty result with the
+    normal schema instead of a numpy axis error."""
+    emb = spark.read.parquet(SF001).localCheckpoint()
+    for qids in ([], [10**12]):
+        res = ivf_knn(emb, spark, query_ids=qids, k=3)
+        assert res.columns == ["query_id", "neighbor_id", "rank"]
+        assert res.count() == 0
