@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..barriers import parquet_barrier
+from ..sources.csv_cells import data_cells
 from ..constants import (
     ANN_COLUMN,
     ANN_ROW,
@@ -49,7 +50,7 @@ def build_rows_present(cells: DataFrame, fused: bool = False) -> DataFrame:
     parse, so the pipeline materializes it on a pool driver thread
     concurrently with the whole candidates/CEA chain (plans/
     pipeline.py) instead of serially inside the triples stage."""
-    data = cells.where(F.col("row") >= 0)
+    data = data_cells(cells)
     rows_present = (
         data.groupBy("table_id", "row")
         .agg(
@@ -94,7 +95,7 @@ def emit_triples(
         )
     )
 
-    data = cells.where(F.col("row") >= 0)
+    data = data_cells(cells)
     if rows_present is None:
         rows_present = build_rows_present(cells, fused)
     row_uri = F.concat(

@@ -36,7 +36,7 @@ from ..operators.types_cascade import (
     build_entity_types,
     make_most_specific_udf,
 )
-from ..sources.csv_cells import parse_cells
+from ..sources.csv_cells import data_cells, parse_cells
 from ..sources.repo_source import discover_csv_artifacts
 
 STAGES = [
@@ -185,6 +185,10 @@ def run_pipeline(
     cand_fused = checkpoint_dir is None and materialize != "all"
     fused = False  # cea/emit internal barriers kept (see above)
     res = PipelineResult()
+    # share the checkpointer's live metrics list so every stop_after
+    # early return carries the lineage/sha-integrity metrics collected
+    # so far (they were previously only attached on full completion)
+    res.metrics = ck.metrics
 
     def upto(name: str) -> bool:
         return stop_after is not None and STAGES.index(name) > STAGES.index(stop_after)
@@ -234,12 +238,15 @@ def run_pipeline(
     # the sha2 of the source row's content. Folded into the cells
     # stage's lineage collect — one driver action, not two.
     def _sha_integrity(cells_out: DataFrame) -> DataFrame:
+        # join on the source table's NATURAL key (repo, path) — path
+        # alone collides across repos in a multi-repo corpus and would
+        # report false mismatches on intact data
         src_sha = dfs["source_repos"].select(
-            "path", F.sha2(F.col("content"), 256).alias("src_sha")
+            "repo", "path", F.sha2(F.col("content"), 256).alias("src_sha")
         )
         return (
-            cells_out.select("path", "content_sha").distinct()
-            .join(src_sha, "path", "left")
+            cells_out.select("repo", "path", "content_sha").distinct()
+            .join(src_sha, ["repo", "path"], "left")
             .where(
                 F.col("src_sha").isNull()
                 | (F.col("src_sha") != F.col("content_sha"))
@@ -280,7 +287,7 @@ def run_pipeline(
         if upto("candidates"):
             ck.finish()
             return res
-        data = cells.where(F.col("row") >= 0)
+        data = data_cells(cells)
         cells_m_holder: dict[str, DataFrame] = {}
 
         def _gen_candidates() -> tuple[DataFrame, DataFrame]:
@@ -391,5 +398,4 @@ def run_pipeline(
         _abort_pool()
         raise
     ck.finish()
-    res.metrics = ck.metrics
     return res

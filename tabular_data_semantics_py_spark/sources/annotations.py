@@ -52,7 +52,15 @@ def read_cea_csv(spark: SparkSession, path: str) -> DataFrame:
             & F.col("row").isNotNull()
             & F.col("entities").isNotNull()
         )
-        .withColumn("entities", F.split(F.col("entities"), " "))
+        .withColumn(
+            "entities",
+            # '' means NO annotation, not [''] — F.split('') would
+            # yield one phantom empty-URI element (mirrors the
+            # ancestors handling in read_cta_csv)
+            F.when(
+                F.col("entities") == "", F.array().cast("array<string>")
+            ).otherwise(F.split(F.col("entities"), " ")),
+        )
     )
 
 
@@ -97,11 +105,18 @@ def write_cea_csv(cea: DataFrame, path: str) -> None:
 
 
 def write_cta_csv(cta: DataFrame, path: str) -> None:
-    """(table_id, col, cls, ancestors) → SemTab CTA CSV; ancestors is
-    already the space-joined string (challenge_utils.py:139-162)."""
+    """(table_id, col, cls, ancestors) → SemTab CTA CSV; ancestors may
+    be the space-joined string (challenge_utils.py:139-162) OR the
+    array<string> that read_cta_csv returns — the CSV sink rejects
+    array columns, so the round-trip needs the same dual-shape
+    handling write_cea_csv has."""
+    anc = F.col("ancestors")
+    if dict(cta.dtypes).get("ancestors", "").startswith("array"):
+        anc = F.concat_ws(" ", anc)
     (
         cta.select(
-            "table_id", F.col("col").cast("string"), "cls", "ancestors"
+            "table_id", F.col("col").cast("string"), "cls",
+            anc.alias("ancestors"),
         )
         .write.mode("overwrite")
         .option("quoteAll", True)

@@ -370,10 +370,19 @@ def _corpus_via_parquet(
     import os
     import tempfile
 
-    key = hashlib.sha256(
-        f"{corpus.seed}:{len(corpus.tables)}:{len(corpus.entities)}:"
-        f"{len(corpus.triples)}:{_generator_version()}".encode()
-    ).hexdigest()[:16]
+    # CONTENT-keyed, not count-keyed: hashing only (seed, element
+    # counts) would silently serve a stale cache for a corpus with the
+    # same shape but different content (e.g. a test mutating one
+    # entity label). The digest covers exactly the rows+schemas that
+    # would be written; fixture corpora are small, so the extra
+    # _corpus_tables pass is cheap.
+    h = hashlib.sha256(_generator_version().encode())
+    for name, (rows, schema) in sorted(_corpus_tables(corpus).items()):
+        h.update(name.encode())
+        h.update(repr(schema).encode())
+        for r in rows:
+            h.update(repr(r).encode())
+    key = h.hexdigest()[:16]
     root = os.path.join(tempfile.gettempdir(), f"tds_corpus_{key}")
     if not os.path.exists(os.path.join(root, "_DONE")):
         _write_corpus_parquet(corpus, root)

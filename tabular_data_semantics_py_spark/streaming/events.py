@@ -27,9 +27,22 @@ def stream_events_from_parquet(
 ) -> DataFrame:
     """readStream over a parquet directory (file-source streaming —
     each file is a micro-batch input; at scale this is the Iceberg /
-    Kafka source with the same downstream plan)."""
+    Kafka source with the same downstream plan).
+
+    ``schema=None`` infers from the files already present — fine for
+    drains of existing data, but a landing directory that is still
+    EMPTY at deploy time has nothing to infer from; pass the schema
+    explicitly there so the stream starts and picks files up as they
+    arrive."""
     if schema is None:
-        schema = spark.read.parquet(path).schema
+        try:
+            schema = spark.read.parquet(path).schema
+        except Exception as e:
+            raise ValueError(
+                f"cannot infer a streaming schema from '{path}' (empty "
+                "or missing directory?) — pass schema= explicitly for "
+                "not-yet-populated landing directories"
+            ) from e
     return spark.readStream.schema(schema).parquet(path)
 
 

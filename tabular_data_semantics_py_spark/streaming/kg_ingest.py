@@ -61,7 +61,16 @@ def stream_kg_triples(
     which is supplied per batch. Re-invoking with the same
     ``checkpoint_dir`` processes only files that arrived since the
     last drain (exactly-once via the source's file log).
+
+    ``static_dfs`` must be backed by durable storage (their own
+    tables/parquet), never by another pipeline run's scratch barriers:
+    each batch reclaims the session's barrier scratch after its append
+    commits — without that, a long-lived/large-backlog drain would
+    monotonically fill the (tmpfs-preferring) scratch volume with one
+    dead generation set per micro-batch, reclaimed only at process
+    exit.
     """
+    from ..barriers import clear_scratch
     from ..plans.pipeline import run_pipeline
 
     stream = spark.readStream.schema(SOURCE_SCHEMA).parquet(stream_dir)
@@ -73,6 +82,9 @@ def stream_kg_triples(
         dfs["source_repos"] = batch_df
         res = run_pipeline(spark, dfs)
         res.stages["triples"].write.mode("append").parquet(triples_dir)
+        # this batch's stage barriers are dead the moment the append
+        # commits — reclaim per batch, not at process exit
+        clear_scratch(spark)
 
     (
         stream.writeStream.foreachBatch(_batch)

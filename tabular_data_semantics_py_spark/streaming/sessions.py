@@ -44,14 +44,26 @@ STATE_SCHEMA = "starts array<long>, ends array<long>, ns array<long>"
 _MS = 10**6  # pandas datetime64[ns] → ms divisor is 1e6
 
 
-def _epoch_ms(series):
+def _epoch_ms(series, tz: str = "UTC"):
     import pandas as pd
 
     # pin to ns resolution first: pandas 2.x preserves the source unit
     # (parquet is us, Arrow batches are ns), and int64-of-us // 1e6
     # would silently yield seconds
+    s = pd.to_datetime(series)
+    if s.dt.tz is None:
+        # applyInPandasWithState delivers event time to pandas as
+        # SESSION-TIMEZONE-LOCAL naive values, while
+        # getCurrentWatermarkMs() is true UTC epoch ms — localize
+        # before converting so the two are comparable in ANY session
+        # timezone, not just UTC (ambiguous DST folds take the DST
+        # side; nonexistent spring-forward instants shift forward —
+        # both deterministic)
+        s = s.dt.tz_localize(tz, ambiguous=True, nonexistent="shift_forward")
     return (
-        pd.to_datetime(series).astype("datetime64[ns]").astype("int64")
+        s.dt.tz_convert("UTC")
+        .astype("datetime64[ns, UTC]")
+        .astype("int64")
         // _MS
     ).astype("int64")
 
@@ -69,10 +81,11 @@ def _merge_fragments(frags: list, gap_ms: int) -> list:
     return out
 
 
-def make_sessionizer(gap_min: int = 30):
+def make_sessionizer(gap_min: int = 30, tz: str = "UTC"):
     """Returns the (key, pdf_iter, state) function for
     ``applyInPandasWithState``; split out so unit tests can drive the
-    state machine directly."""
+    state machine directly. ``tz``: the Spark session timezone the
+    incoming naive timestamps are expressed in (see ``_epoch_ms``)."""
     gap_ms = gap_min * 60 * 1000
 
     def fn(key, pdfs, state: GroupState):
@@ -87,7 +100,9 @@ def make_sessionizer(gap_min: int = 30):
         # on a timer firing, pdfs is empty — same code path, the
         # advanced watermark below does the closing
         for pdf in pdfs:
-            frags.extend((t, t, 1) for t in _epoch_ms(pdf["ts"]).tolist())
+            frags.extend(
+                (t, t, 1) for t in _epoch_ms(pdf["ts"], tz).tolist()
+            )
         frags = _merge_fragments(frags, gap_ms)
 
         wm = state.getCurrentWatermarkMs()
@@ -130,11 +145,15 @@ def sessionize_stream(
     with_ts = events.withColumn(
         "ts", F.col("ts").cast("timestamp")
     ).withColumn("user_id", F.col("user_id").cast("string"))
+    tz = (
+        events.sparkSession.conf.get("spark.sql.session.timeZone")
+        or "UTC"
+    )
     return (
         with_ts.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            make_sessionizer(gap_min),
+            make_sessionizer(gap_min, tz),
             OUT_SCHEMA,
             STATE_SCHEMA,
             "append",

@@ -251,3 +251,63 @@ def test_batch_streaming_equivalence(spark, tmp_path):
         ).collect()
     }
     assert {s for s in got if s[0] != "999999"} == batch
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving make_sessionizer."""
+
+    def __init__(self, wm_ms):
+        self._wm = wm_ms
+        self._val = None
+        self.timeout = None
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def update(self, v):
+        self._val = v
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout = ts
+
+    def remove(self):
+        self.removed = True
+
+
+def test_sessionizer_watermark_comparison_in_non_utc_tz():
+    """applyInPandasWithState hands event time to pandas as
+    SESSION-LOCAL naive values while getCurrentWatermarkMs() is true
+    UTC epoch ms. In a non-UTC session the sessionizer must localize
+    before comparing — the old code closed sessions hours early
+    (local-wall ms vs UTC watermark)."""
+    from tabular_data_semantics_py_spark.streaming.sessions import (
+        make_sessionizer,
+    )
+
+    # 2021-01-15 12:00 PST == 2021-01-15 20:00 UTC
+    true_epoch = int(
+        pd.Timestamp("2021-01-15 20:00:00", tz="UTC").value // 10**6
+    )
+    local_naive = pd.Timestamp("2021-01-15 12:00:00")  # what pandas sees
+    wm = true_epoch - 60 * 60 * 1000  # watermark 1h BEFORE the event
+
+    fn = make_sessionizer(gap_min=30, tz="America/Los_Angeles")
+    state = _FakeState(wm)
+    pdf = pd.DataFrame({"ts": [local_naive]})
+    out = list(fn(("u1",), iter([pdf]), state))
+
+    # the event is inside the watermark horizon: it must stay OPEN
+    # (the un-localized comparison would see end+gap 8h < wm and emit)
+    assert out == []
+    assert state.exists
+    starts, ends, ns = state.get
+    assert ends[0] == true_epoch  # stored as true epoch ms
