@@ -2016,6 +2016,133 @@ def media_meta(spark, sf_dir):
     )
 
 
+_MEDIA_RESIZE_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         text, sha256(text) AS sha
+  FROM documents
+), d AS (
+  SELECT doc_id, media_type, text,
+         (64 + ('0x' || substr(sha, 1, 2))::INT % 192)::INT AS width,
+         (64 + ('0x' || substr(sha, 3, 2))::INT % 192)::INT AS height
+  FROM p
+), r AS (
+  SELECT *,
+         CASE WHEN greatest(width, height) <= 64 THEN width
+              ELSE (width * 64 // greatest(width, height))::INT
+         END AS new_width,
+         CASE WHEN greatest(width, height) <= 64 THEN height
+              ELSE (height * 64 // greatest(width, height))::INT
+         END AS new_height
+  FROM d
+)
+SELECT doc_id, media_type, width, height,
+       new_width::INT AS new_width, new_height::INT AS new_height,
+       sha256(text || '#resize#' || CAST(new_width AS VARCHAR) || 'x'
+              || CAST(new_height AS VARCHAR)) AS resized_sha
+FROM r
+"""
+
+
+@q("media_resize", lambda: _MEDIA_RESIZE_SQL)
+def media_resize(spark, sf_dir):
+    """Multimodal resize plumbing: integer thumbnail-fit dims + stub
+    artifact sha via mapInPandas (operators/multimodal.resize_media).
+    decode='stub' for environment-independence (see media_meta)."""
+    from .operators.multimodal import resize_media, synth_media
+
+    return resize_media(
+        synth_media(_load(spark, sf_dir, "documents")),
+        target=64, decode="stub",
+    )
+
+
+_MEDIA_FRAMES_SQL = """
+WITH p AS (
+  SELECT doc_id, text, sha256(text) AS sha
+  FROM documents
+  WHERE doc_id % 3 = 2
+), v AS (
+  SELECT doc_id, text,
+         ('0x' || substr(sha, 5, 2))::INT * 256
+           + ('0x' || substr(sha, 7, 2))::INT AS duration_ms
+  FROM p
+)
+SELECT doc_id,
+       unnest(range(0, LEAST(8, duration_ms // 1000 + 1)))::INT
+         AS frame_idx,
+       (unnest(range(0, LEAST(8, duration_ms // 1000 + 1))) * 1000)::INT
+         AS ts_ms,
+       sha256(text || '#frame#'
+              || CAST(unnest(range(0, LEAST(8, duration_ms // 1000 + 1)))
+                      AS VARCHAR)) AS frame_sha
+FROM v
+"""
+
+
+@q("media_frames", lambda: _MEDIA_FRAMES_SQL)
+def media_frames(spark, sf_dir):
+    """Video frame sampling: JVM-side duration decode + frame-index
+    explode, Arrow-batched per-frame stub extraction
+    (operators/multimodal.sample_frames)."""
+    from .operators.multimodal import sample_frames, synth_media
+
+    return sample_frames(
+        synth_media(_load(spark, sf_dir, "documents")),
+        interval_ms=1000, max_frames=8,
+    )
+
+
+_TOKEN_BPE_SQL = """
+WITH a AS (
+  SELECT doc_id,
+         text || ' doc-' || CAST(doc_id AS VARCHAR) || '.v1!' AS t
+  FROM documents
+), tk AS (
+  SELECT doc_id,
+         regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS toks
+  FROM a
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_bpe,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]')))
+            AS BIGINT) AS n_alpha,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]')))
+            AS BIGINT) AS n_num,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^[^A-Za-z0-9]')))
+            AS BIGINT) AS n_mark
+FROM tk
+"""
+
+
+@q("doc_token_bpe", lambda: _TOKEN_BPE_SQL)
+def doc_token_bpe(spark, sf_dir):
+    """BPE-ish regex token counting (functions/text.token_stats_bpe).
+    The fixture corpus is pure lowercase words, so the text is
+    deterministically augmented with a per-doc ' doc-<id>.v1!' suffix
+    — digit runs and punctuation marks the tokenizer must segment —
+    to make the counts discriminating; the oracle applies the same
+    augmentation."""
+    from .functions.text import token_stats_bpe
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" doc-"), F.col("doc_id"), F.lit(".v1!")
+        ).alias("text"),
+    )
+    t = token_stats_bpe(docs)
+    return t.select(
+        "doc_id",
+        F.col("n_bpe").cast("long").alias("n_bpe"),
+        F.col("n_alpha").cast("long").alias("n_alpha"),
+        F.col("n_num").cast("long").alias("n_num"),
+        F.col("n_mark").cast("long").alias("n_mark"),
+    )
+
+
 @q("emb_ivf_knn")
 def emb_ivf_knn(spark, sf_dir):
     """IVF-bucketed approximate kNN (numpy GEMM in mapInPandas) —

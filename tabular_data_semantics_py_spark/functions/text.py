@@ -93,6 +93,33 @@ def lang_id(docs: DataFrame, text_col: str = "text",
     )
 
 
+# BPE-ish pre-tokenization pattern (GPT-2-family shape, ASCII-scoped):
+# a letter run, a digit run, or a single non-alphanumeric mark. The
+# alternatives are disjoint, so Java-regex (Spark) and RE2 (DuckDB
+# oracle) produce identical token streams — no engine-specific
+# leftmost-longest vs leftmost-first divergence to worry about.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_stats_bpe(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, n_bpe, n_alpha, n_num, n_mark): token counts under
+    the BPE-ish regex pre-tokenizer — the whitespace-independent
+    count an LLM-training token-budget estimate needs. Pure codegen:
+    ``regexp_extract_all`` + array ``filter``/``size``, no Python."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)
+    n_of = lambda pat: F.size(  # noqa: E731
+        F.filter(toks, lambda t: t.rlike(pat))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_bpe"),
+        n_of("^[A-Za-z]").alias("n_alpha"),
+        n_of("^[0-9]").alias("n_num"),
+        n_of("^[^A-Za-z0-9]").alias("n_mark"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """→ (doc_id, fp): sha256 of the whitespace-normalized lowercase

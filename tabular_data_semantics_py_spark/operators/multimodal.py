@@ -137,3 +137,159 @@ def extract_media_meta(media: DataFrame, decode: str = "auto") -> DataFrame:
             )
 
     return media.mapInPandas(run, META_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, "
+    "new_width int, new_height int, resized_sha string"
+)
+
+
+def _fit_dims(width: int, height: int, target: int) -> tuple[int, int]:
+    """Thumbnail-fit: scale the longer edge down to ``target``,
+    preserving aspect ratio. Pure integer arithmetic (floor), so the
+    SQL oracle reproduces it exactly — no IEEE rounding to match."""
+    longest = max(width, height)
+    if longest <= target:
+        return width, height
+    return width * target // longest, height * target // longest
+
+
+def resize_media(media: DataFrame, target: int = 64,
+                 decode: str = "stub") -> DataFrame:
+    """mapInPandas resize over binary payloads: decode dims (stub or
+    PIL), integer thumbnail-fit to ``target``, emit the resized
+    artifact's identity as ``resized_sha``.
+
+    Stub resize output is ``sha256(payload + b"#resize#{w}x{h}")`` —
+    deterministic, environment-independent, and exactly recomputable
+    by the DuckDB oracle. With ``decode='auto'`` and PIL importable on
+    the executor, images take the real ``Image.resize`` path and the
+    sha is of the re-encoded PNG bytes (dims from the real decode).
+    Per-executor decoder resolution mirrors extract_media_meta.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_real = real_image_decoder() if decode == "auto" else None
+
+        def one(mt: str, payload: bytes):
+            if mt == "image" and image_real is not None:
+                w, h, _ = image_real(payload)
+                if w is None:
+                    return None, None, None, None, None
+                nw, nh = _fit_dims(w, h, target)
+                sha = _real_resize_sha(payload, nw, nh)
+                return w, h, nw, nh, sha
+            w, h, _ = _decode_stub(mt, payload)
+            nw, nh = _fit_dims(w, h, target)
+            sha = hashlib.sha256(
+                payload + f"#resize#{nw}x{nh}".encode()
+            ).hexdigest()
+            return w, h, nw, nh, sha
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = [
+                one(mt, bytes(p))
+                for mt, p in zip(pdf["media_type"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [o[0] for o in out],
+                    "height": [o[1] for o in out],
+                    "new_width": [o[2] for o in out],
+                    "new_height": [o[3] for o in out],
+                    "resized_sha": [o[4] for o in out],
+                }
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def _real_resize_sha(payload: bytes, nw: int, nh: int) -> str | None:
+    """PIL resize + PNG re-encode, sha of the artifact bytes. Only
+    called when real_image_decoder() already succeeded on an import,
+    so PIL is known importable here."""
+    import io
+
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            buf = io.BytesIO()
+            im.resize((max(nw, 1), max(nh, 1))).save(buf, format="PNG")
+            return hashlib.sha256(buf.getvalue()).hexdigest()
+    except Exception:
+        return None
+
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, ts_ms int, frame_sha string"
+)
+
+
+def sample_frames(media: DataFrame, interval_ms: int = 1000,
+                  max_frames: int = 8) -> DataFrame:
+    """Frame sampling for video payloads: one row per sampled frame at
+    ``interval_ms`` spacing, capped at ``max_frames``.
+
+    Two-part plan, each part where it belongs at 100 TB:
+
+    1. Frame-index generation is pure whole-stage codegen — duration
+       decoded from the payload digest JVM-side (``sha2`` + hex
+       ``conv``, the same bytes the stub decoder uses), then
+       ``explode(sequence(0, n_frames-1))``. No Python touches the
+       (much larger) post-explode row count until the decode step.
+    2. Per-frame extraction is one Arrow-batched mapInPandas over
+       (payload, frame_idx): stub "frame" = sha256(payload +
+       b"#frame#{idx}") — the seam where a real video decoder
+       (payload, ts_ms) -> frame bytes plugs in.
+
+    The explode replicates the payload per frame; that is the real
+    shape too (each frame decode needs the container bytes), and the
+    cap bounds the fan-out to ``max_frames``x.
+    """
+    n_frames = F.least(
+        F.lit(max_frames),
+        (F.col("duration_ms") / interval_ms).cast("int") + 1,
+    )
+    sha_hex = F.sha2(F.col("payload"), 256)
+    duration = (
+        F.conv(F.substring(sha_hex, 5, 2), 16, 10).cast("int") * 256
+        + F.conv(F.substring(sha_hex, 7, 2), 16, 10).cast("int")
+    )
+    frames = (
+        media.where(F.col("media_type") == "video")
+        .withColumn("duration_ms", duration)
+        .select(
+            "doc_id",
+            "payload",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias(
+                "frame_idx"
+            ),
+        )
+        .withColumn("ts_ms", F.col("frame_idx") * interval_ms)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "ts_ms": pdf["ts_ms"],
+                    "frame_sha": [
+                        hashlib.sha256(
+                            bytes(p) + f"#frame#{i}".encode()
+                        ).hexdigest()
+                        for p, i in zip(pdf["payload"], pdf["frame_idx"])
+                    ],
+                }
+            )
+
+    return frames.mapInPandas(run, FRAME_SCHEMA)

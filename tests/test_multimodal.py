@@ -9,9 +9,12 @@ import types
 
 from tabular_data_semantics_py_spark.operators.multimodal import (
     _decode_stub,
+    _fit_dims,
     _row_decoder,
     extract_media_meta,
     real_image_decoder,
+    resize_media,
+    sample_frames,
     synth_media,
 )
 
@@ -89,3 +92,65 @@ def test_extract_media_meta_stub_spark(spark):
         assert (r["width"], r["height"], r["duration_ms"]) == _decode_stub(
             r["media_type"], payload
         )
+
+
+def test_fit_dims_integer_thumbnail():
+    # longer edge scales to target, aspect preserved under floor
+    assert _fit_dims(200, 100, 64) == (64, 32)
+    assert _fit_dims(100, 200, 64) == (32, 64)
+    # already within target: untouched
+    assert _fit_dims(64, 64, 64) == (64, 64)
+    assert _fit_dims(40, 64, 64) == (40, 64)
+    # floor, not round: 150*64//200 = 48
+    assert _fit_dims(200, 150, 64) == (64, 48)
+    # shorter edge can floor to 0 on extreme aspect — documented
+    assert _fit_dims(1000, 1, 64) == (64, 0)
+
+
+def test_resize_media_stub_spark(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in resize_media(
+            synth_media(docs), target=64, decode="stub"
+        ).collect()
+    }
+    assert len(rows) == 3
+    for doc_id, text in [(1, "alpha"), (2, "beta"), (3, "gamma")]:
+        r = rows[doc_id]
+        payload = text.encode()
+        w, h, _ = _decode_stub(r["media_type"], payload)
+        nw, nh = _fit_dims(w, h, 64)
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["new_width"], r["new_height"]) == (nw, nh)
+        assert r["resized_sha"] == hashlib.sha256(
+            payload + f"#resize#{nw}x{nh}".encode()
+        ).hexdigest()
+
+
+def test_sample_frames_spark(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(12)],
+        "doc_id long, text string",
+    )
+    out = sample_frames(
+        synth_media(docs), interval_ms=1000, max_frames=4
+    ).collect()
+    # only video rows (doc_id % 3 == 2) produce frames
+    assert {r["doc_id"] % 3 for r in out} == {2}
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, frames in by_doc.items():
+        payload = f"doc {doc_id} text".encode()
+        _, _, duration = _decode_stub("video", payload)
+        expect_n = min(4, duration // 1000 + 1)
+        idxs = sorted(f["frame_idx"] for f in frames)
+        assert idxs == list(range(expect_n))
+        for f in frames:
+            assert f["ts_ms"] == f["frame_idx"] * 1000
+            assert f["frame_sha"] == hashlib.sha256(
+                payload + f"#frame#{f['frame_idx']}".encode()
+            ).hexdigest()
