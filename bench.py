@@ -752,9 +752,11 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
         episodes the bracket could miss inflate that rep's wall, so
         best-of-N discards them; the in-rep worst is still recorded
         as a diagnostic."""
+        return max(job_worst_probe(j) for j in samples)
+
+    def job_worst_probe(j: str) -> float:
         return max(
-            min(samples[j][p], key=lambda t: t[0])[1]
-            for j in samples for p in samples[j]
+            min(samples[j][p], key=lambda t: t[0])[1] for p in samples[j]
         )
 
     # bad-weather retry: the probe tells us when a rep ran against
@@ -767,7 +769,11 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
     while extra < retry_budget and worst_probe() > probe_abs:
         one_pass()
         extra += 1
-    gate_passed = worst_probe() <= probe_abs
+    # the gate verdict is PER JOB: one job's dirty bracket must not
+    # stamp GATE FAILED onto another job's clean measurement (the
+    # retry loop above still keys on the worst across jobs, since a
+    # pass reruns every requested job anyway)
+    gate_passed = {j: job_worst_probe(j) <= probe_abs for j in jobs}
 
     best = {
         j: {p: min(samples[j][p], key=lambda t: t[0])[0]
@@ -820,7 +826,7 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> None
                 for p in inrep_at_best[job]
             },
             "probe_abs_gate_sec": probe_abs,
-            "gate_passed": gate_passed,
+            "gate_passed": gate_passed[job],
             "passes": reps + extra,
         }
     json.dump(state, open(state_path, "w"), indent=1)

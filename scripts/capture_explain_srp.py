@@ -12,10 +12,8 @@ for the SRP-LSH embedding near-dup operator:
 Usage: python scripts/capture_explain_srp.py
 """
 
-import io
 import os
 import sys
-from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -23,6 +21,10 @@ from tabular_data_semantics_py_spark.operators.similarity import (  # noqa: E402
     srp_lsh_pairs,
 )
 from tabular_data_semantics_py_spark.session import get_spark  # noqa: E402
+from tabular_data_semantics_py_spark.sources.bucketed import (  # noqa: E402
+    count_nodes,
+    formatted_explain,
+)
 
 
 def main() -> None:
@@ -32,11 +34,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     plan = srp_lsh_pairs(emb, spark, 0.4, max_bucket_size=64)
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        plan.explain("formatted")
-    text = buf.getvalue()
-    n_mip = text.count("MapInPandas")
+    text = formatted_explain(plan)
+    # node-id count, NOT substring count: the formatted form prints
+    # each node twice (tree + detail section)
+    n_mip = count_nodes(text, "MapInPandas")
     out = os.path.join(
         os.path.dirname(__file__), "..", "docs", "explain_srp_lsh.txt"
     )

@@ -109,5 +109,28 @@ def parquet_barrier(df: DataFrame, name: str) -> DataFrame:
 def clear_scratch(spark: SparkSession) -> None:
     """Delete every stage-barrier generation of this session. Only safe
     when no DataFrame from a previous ``run_pipeline`` call is still
-    live (bench drops them before calling)."""
+    live (bench drops them before calling). Callers that cannot prove
+    that use the scoped ``list_generations``/``reclaim_new_generations``
+    pair instead."""
     shutil.rmtree(_scratch_dir(spark), ignore_errors=True)
+
+
+def list_generations(spark: SparkSession) -> set[str]:
+    """Snapshot of the generation dirs currently on scratch — pair
+    with ``reclaim_new_generations`` to bound a region's disk use
+    without touching earlier pipelines' still-live barriers."""
+    scratch = _scratch_dir(spark)
+    try:
+        return {os.path.join(scratch, d) for d in os.listdir(scratch)}
+    except FileNotFoundError:
+        return set()
+
+
+def reclaim_new_generations(spark: SparkSession, before: set[str]) -> None:
+    """Delete only the generation dirs created since the ``before``
+    snapshot. Scoped alternative to ``clear_scratch``: DataFrames
+    produced before the snapshot stay readable; everything the scoped
+    region wrote is reclaimed (so the region's own outputs must be
+    fully consumed by the time this runs)."""
+    for d in list_generations(spark) - before:
+        shutil.rmtree(d, ignore_errors=True)

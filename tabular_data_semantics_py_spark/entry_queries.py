@@ -1016,9 +1016,15 @@ def kg_redirect_sameas(spark, sf_dir):
 
 def _o_canonical_ids():
     corpus, _, _ = _fixture()
+    # degenerate-edge policy (mirrored EXACTLY by the Spark query):
+    # empty-string endpoints are malformed -> no edge; a self-edge
+    # (self-redirect / reflexive sameAs) is a no-op identity assertion
+    # -> no edge, so a node mentioned ONLY by a self-edge gets no row
     rows = [
-        (e.uri, e.redirect_to) for e in corpus.entities if e.redirect_to
-    ] + list(corpus.cross_sameas)
+        (e.uri, e.redirect_to)
+        for e in corpus.entities
+        if e.redirect_to and e.redirect_to != e.uri
+    ] + [(a, b) for a, b in corpus.cross_sameas if a and b and a != b]
     # exact reachability closure via recursive CTE, then min per node —
     # the ground-truth connected-components semantics
     return f"""
@@ -1047,13 +1053,26 @@ def kg_canonical_ids(spark, sf_dir):
 
     dfs = _dfs(spark)
     idx = dfs["entity_index"]
+    # degenerate-edge policy (same as the oracle): NULL/empty
+    # endpoints and self-edges are not identity edges — a node
+    # mentioned only by a self-redirect gets no canonical-id row
     edges = (
-        idx.where(F.col("redirect_to").isNotNull())
+        idx.where(
+            F.col("redirect_to").isNotNull()
+            & (F.col("redirect_to") != "")
+            & (F.col("redirect_to") != F.col("uri"))
+        )
         .select(
             F.col("uri").alias("src"), F.col("redirect_to").alias("dst")
         )
         .unionByName(
-            dfs["cross_sameas"].select(
+            dfs["cross_sameas"]
+            .where(
+                F.col("uri").isNotNull() & (F.col("uri") != "")
+                & F.col("wd_uri").isNotNull() & (F.col("wd_uri") != "")
+                & (F.col("wd_uri") != F.col("uri"))
+            )
+            .select(
                 F.col("uri").alias("src"), F.col("wd_uri").alias("dst")
             )
         )
@@ -1762,12 +1781,18 @@ def _o_srp_neardup():
     vecs: dict[int, list[float]] = {}
     for vid, vec in rows:
         vecs[vid] = vec
+        # same integer quantization as the operator (similarity.py
+        # signatures): ±1 hyperplanes × integer components make the
+        # projection sum EXACT under any summation order, so this
+        # sequential loop provably equals the operator's GEMM.
+        # round() is half-to-even, matching np.rint.
+        q = [round(v * 65536.0) for v in vec]
         bits = []
         for b in range(n_bits):
-            acc = 0.0
+            acc = 0
             hb = H[b]
             for d in range(dim):
-                acc += vec[d] * hb[d]
+                acc += q[d] if hb[d] > 0 else -q[d]
             bits.append(1 if acc > 0 else 0)
         for band in range(n_bands):
             key = 0
@@ -1918,9 +1943,18 @@ def _simhash_scalar_table():
             bit_memo[tok] = [1 if (h >> i) & 1 else -1 for i in range(64)]
         return bit_memo[tok]
 
+    import re
+
     rows = []
     for doc_id, text in docs:
-        toks = (text or "").split()
+        # EXACT mirror of the operator's tokenizer: Spark splits on
+        # Java-regex \s+ ([ \t\n\x0B\f\r] without UNICODE_CHARACTER_
+        # CLASS) and filters empties. Python str.split() is NOT that
+        # class (it also splits U+00A0, U+0085, U+2000-200A, ...), so
+        # spell the Java class out.
+        toks = [
+            t for t in re.split(r"[ \t\n\x0b\f\r]+", text or "") if t
+        ]
         if not toks:
             rows.append((doc_id, 0))
             continue

@@ -306,7 +306,20 @@ def srp_lsh_pairs(
             if not len(pdf):
                 continue
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            bits = (V @ H.T) > 0  # n × n_bits
+            # Quantize to integer-valued float64 before projecting:
+            # with ±1 hyperplane components every partial sum is then
+            # an exact integer (bounded by dim·2^26 « 2^53), so the
+            # sign bit is identical under ANY summation order — BLAS
+            # GEMM here, a sequential per-component loop in the
+            # oracle. Unquantized float64 has no such guarantee: a
+            # projection that cancels to ~1e-16 can flip sign between
+            # pairwise/SIMD and sequential folds. The ≤ 2^-17 per-
+            # component quantization error only perturbs CANDIDATE
+            # generation (LSH is approximate there by construction);
+            # the verify cosine below still runs on the original
+            # vectors in the exact oracle operand order.
+            Q = np.rint(V * 65536.0)
+            bits = (Q @ H.T) > 0  # n × n_bits
             keys = (
                 bits.reshape(len(V), n_bands, r_bits).astype(np.int64)
                 @ weights

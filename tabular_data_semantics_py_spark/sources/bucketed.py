@@ -99,10 +99,15 @@ def formatted_explain(df: DataFrame) -> str:
     return buf.getvalue()
 
 
-def count_exchanges(plan_text: str) -> int:
-    """Number of Exchange NODES in a formatted explain. Counts node
-    ids, not substring occurrences — the formatted form prints each
-    node twice (tree + detail section)."""
+def count_nodes(plan_text: str, node: str) -> int:
+    """Number of NODES named ``node`` in a formatted explain. Counts
+    node ids (``(N) Node``), not substring occurrences — the formatted
+    form prints each node twice (tree + detail section)."""
     import re
 
-    return len(re.findall(r"\(\d+\) Exchange", plan_text))
+    return len(re.findall(r"\(\d+\) " + re.escape(node), plan_text))
+
+
+def count_exchanges(plan_text: str) -> int:
+    """Number of Exchange nodes in a formatted explain."""
+    return count_nodes(plan_text, "Exchange")

@@ -62,15 +62,16 @@ def stream_kg_triples(
     ``checkpoint_dir`` processes only files that arrived since the
     last drain (exactly-once via the source's file log).
 
-    ``static_dfs`` must be backed by durable storage (their own
-    tables/parquet), never by another pipeline run's scratch barriers:
-    each batch reclaims the session's barrier scratch after its append
-    commits — without that, a long-lived/large-backlog drain would
+    Each batch reclaims only the barrier generations IT created (a
+    before/after snapshot of the scratch dir) once its append commits
+    — without that, a long-lived/large-backlog drain would
     monotonically fill the (tmpfs-preferring) scratch volume with one
     dead generation set per micro-batch, reclaimed only at process
-    exit.
+    exit. The scoped reclaim leaves any earlier ``run_pipeline``
+    call's still-live barriers untouched, so running a drain in the
+    same session as a batch pipeline is safe.
     """
-    from ..barriers import clear_scratch
+    from ..barriers import list_generations, reclaim_new_generations
     from ..plans.pipeline import run_pipeline
 
     stream = spark.readStream.schema(SOURCE_SCHEMA).parquet(stream_dir)
@@ -78,13 +79,16 @@ def stream_kg_triples(
     def _batch(batch_df: DataFrame, _epoch: int) -> None:
         if not batch_df.take(1):
             return
+        before = list_generations(spark)
         dfs = dict(static_dfs)
         dfs["source_repos"] = batch_df
         res = run_pipeline(spark, dfs)
         res.stages["triples"].write.mode("append").parquet(triples_dir)
         # this batch's stage barriers are dead the moment the append
-        # commits — reclaim per batch, not at process exit
-        clear_scratch(spark)
+        # commits — reclaim them per batch (and ONLY them: an earlier
+        # batch-mode run_pipeline's barriers in this session may still
+        # back live DataFrames)
+        reclaim_new_generations(spark, before)
 
     (
         stream.writeStream.foreachBatch(_batch)

@@ -63,6 +63,11 @@ def test_simhash_matches_scalar_reference(spark):
     texts = [
         "a b c a", "", "a", "x y z x y z", "the quick brown fox",
         "  leading  double\tand trailing ",  # tokenizer parity: \s+ runs
+        # Java \s does NOT include U+00A0 (or U+2000..): the nbsp
+        # stays INSIDE the token on both sides. Python str.split()
+        # would split it — this case pins the scalar reference to the
+        # Java class, not Python's.
+        "nbsp\xa0joined plus normal",
     ]
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
@@ -70,7 +75,10 @@ def test_simhash_matches_scalar_reference(spark):
     got = {r.id: r.simhash for r in simhash64(df).collect()}
 
     def ref(t):
-        toks = t.split()
+        import re
+
+        # Java-\s-equivalent class — see _simhash_scalar_table
+        toks = [w for w in re.split(r"[ \t\n\x0b\f\r]+", t) if w]
         if not toks:
             return 0
         hs = [spark_xxhash64(tok) & ((1 << 64) - 1) for tok in toks]
@@ -137,7 +145,10 @@ def test_simhash_fold_both_paths_match_scalar(spark):
     ]
 
     def ref(t):
-        toks = t.split()
+        import re
+
+        # Java-\s-equivalent class — see _simhash_scalar_table
+        toks = [w for w in re.split(r"[ \t\n\x0b\f\r]+", t) if w]
         if not toks:
             return 0
         hs = [spark_xxhash64(tok) & ((1 << 64) - 1) for tok in toks]

@@ -11,6 +11,7 @@ same 4,136 canonical triples the golden tests pin.
 import json
 import shutil
 import subprocess
+import sys
 import zipfile
 from pathlib import Path
 
@@ -55,7 +56,7 @@ def test_worker_import_path_independent_of_cwd(tmp_path):
         if k != "PYTHONPATH"
     }
     res = subprocess.run(
-        ["python", str(script)],
+        [sys.executable, str(script)],
         cwd=tmp_path,  # nothing import-relevant in the worker cwd
         env=env,
         capture_output=True,
