@@ -1754,7 +1754,7 @@ def doc_curation(spark, sf_dir):
     )
 
 
-def _o_srp_neardup():
+def _srp_pairs_scalar():
     """Independent recomputation of the SRP-LSH near-dup semantics
     (candidates-sharing-a-band-bucket ∩ exact cosine ≥ τ) over the
     oracle sf's embeddings: naive per-component projection loops and a
@@ -1763,7 +1763,8 @@ def _o_srp_neardup():
     exact sequential operand order. Hyperplanes re-derived from
     (n_bits, dim, seed) via the pure-Python XXH64 mirror — shared
     *parameters*, independent *computation* (the doc_simhash oracle
-    precedent)."""
+    precedent). Returns (sorted i<j pair list, sorted vec_id list) —
+    shared by the pair oracle and the canonicalization oracle."""
     import duckdb
 
     from .operators.similarity import srp_hyperplanes
@@ -1817,7 +1818,40 @@ def _o_srp_neardup():
     out = sorted(
         (i, j) for i, j in cand if cos(vecs[i], vecs[j]) >= tau
     )
-    return f"SELECT * FROM {_values(out, 'i, j')}"
+    return out, sorted(vecs)
+
+
+def _o_srp_neardup():
+    pairs, _ = _srp_pairs_scalar()
+    return f"SELECT * FROM {_values(pairs, 'i, j')}"
+
+
+def _o_emb_canonical():
+    """Union-find over the scalar-recomputed SRP pair graph — the
+    exact component semantics (same ground truth the doc-side
+    recursive-CTE oracle encodes), with canonical = min id per
+    component and singletons self-canonical."""
+    pairs, ids = _srp_pairs_scalar()
+    parent = {v: v for v in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in pairs:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[ri] = rj
+    cmin: dict[int, int] = {}
+    for v in ids:
+        r = find(v)
+        cmin[r] = min(cmin.get(r, v), v)
+    rows = [(v, cmin[find(v)], cmin[find(v)] == v) for v in ids]
+    return (
+        f"SELECT * FROM {_values(rows, 'vec_id, canonical_id, is_canonical')}"
+    )
 
 
 @q("emb_srp_neardup", _o_srp_neardup)
@@ -1832,6 +1866,24 @@ def emb_srp_neardup(spark, sf_dir):
     from .operators.similarity import srp_lsh_pairs
 
     return srp_lsh_pairs(_load(spark, sf_dir, "embeddings"), spark, 0.4)
+
+
+@q("emb_neardup_canonical", _o_emb_canonical)
+def emb_neardup_canonical(spark, sf_dir):
+    """Embedding-corpus canonicalization — the survivor-selection tail
+    over the SRP-LSH near-dup graph, mirroring the document family's
+    ``doc_neardup_canonical``: SRP pairs (same config as
+    ``emb_srp_neardup``) → connected components → every vector mapped
+    to its cluster's canonical id (min vec_id), singletons
+    self-canonical. Transitive cosine chains (a~b, b~c, a̸~c) collapse
+    to one survivor — the pair list alone can't dedup the corpus.
+    Oracle: union-find over the independently-recomputed scalar pair
+    graph."""
+    from .operators.similarity import srp_neardup_canonicalize
+
+    return srp_neardup_canonicalize(
+        _load(spark, sf_dir, "embeddings"), spark, 0.4
+    )
 
 
 # word-3-gram-shingle Jaccard oracle: shingles built in SQL exactly

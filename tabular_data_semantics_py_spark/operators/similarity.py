@@ -351,6 +351,47 @@ def srp_lsh_pairs(
     )
 
 
+def srp_neardup_canonicalize(
+    emb: DataFrame,
+    spark,
+    threshold: float,
+    n_bits: int = 128,
+    n_bands: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-side corpus canonicalization — the survivor-selection
+    tail over the SRP-LSH near-dup graph, mirroring the document
+    family's ``dedup.near_dup_canonicalize``: SRP pairs → connected
+    components (alternating large/small-star) → every vector mapped to
+    its cluster's canonical id (min id), singletons self-canonical.
+    A pair list alone doesn't dedup an embedding corpus: transitive
+    near-dup chains (cos(a,b) ≥ τ, cos(b,c) ≥ τ, cos(a,c) < τ) must
+    still collapse to ONE survivor, which is exactly the component
+    structure. → (id_col, canonical_id, is_canonical)."""
+    from .components import connected_components
+
+    pairs = srp_lsh_pairs(
+        emb, spark, threshold, n_bits=n_bits, n_bands=n_bands,
+        id_col=id_col, vec_col=vec_col, max_bucket_size=max_bucket_size,
+        seed=seed,
+    )
+    comp = connected_components(pairs, src="i", dst="j")
+    ids = emb.select(F.col(id_col).alias("node"))
+    return (
+        ids.join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", "node").alias("canonical_id"),
+            (F.coalesce("component", "node") == F.col("node")).alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
 def train_ivf_centroids(
     emb: DataFrame,
     spark,

@@ -158,3 +158,65 @@ def test_ivf_knn_empty_query_set(spark):
         res = ivf_knn(emb, spark, query_ids=qids, k=3)
         assert res.columns == ["query_id", "neighbor_id", "rank"]
         assert res.count() == 0
+
+
+def test_srp_canonicalize_collapses_tight_clusters(spark):
+    """On the tight-cluster fixture (within-cluster cos ~0.97,
+    cross-cluster ~0) the SRP near-dup graph at 256x32 equals the
+    exact cosine graph (P(miss) ~ 6e-11/pair), whose components are
+    exactly the 6 planted clusters — so canonicalization must map
+    every vector to its cluster's min vec_id, cover ALL vectors, and
+    mark exactly one canonical survivor per cluster. Brute-force
+    union-find over the exact cosine pairs is the ground truth."""
+    from tabular_data_semantics_py_spark.operators.similarity import (
+        srp_neardup_canonicalize,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(25):
+            v = c + 0.03 * rng.normal(size=32)
+            rows.append((vid, v.astype(float).tolist()))
+            vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    emb = spark.createDataFrame(
+        pdf, "vec_id long, embedding array<double>"
+    ).localCheckpoint()
+
+    # ground truth: union-find over the exact cosine pair graph
+    parent = {v: v for v in range(vid)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    exact = [(r.i, r.j) for r in cosine_pairs(emb, 0.9).collect()]
+    assert len(exact) > 100
+    for i, j in exact:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[ri] = rj
+    cmin = {}
+    for v in range(vid):
+        r = find(v)
+        cmin[r] = min(cmin.get(r, v), v)
+    want = {v: cmin[find(v)] for v in range(vid)}
+
+    got = {
+        r.vec_id: (r.canonical_id, r.is_canonical)
+        for r in srp_neardup_canonicalize(
+            emb, spark, 0.9, n_bits=256, n_bands=32
+        ).collect()
+    }
+    assert set(got) == set(want)  # total coverage, no drops/dups
+    for v, (canon, is_c) in got.items():
+        assert canon == want[v]
+        assert is_c == (canon == v)
+    assert sum(1 for c, _ in got.values() if c in got and got[c][1]) == vid
+    assert len({c for c, _ in got.values()}) == 6  # one per planted cluster
