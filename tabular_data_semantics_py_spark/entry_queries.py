@@ -2065,7 +2065,7 @@ def doc_simhash_pairs(spark, sf_dir):
 _MEDIA_META_SQL = """
 WITH p AS (
   SELECT doc_id,
-         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         CASE (((doc_id % 3) + 3) % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
               ELSE 'video' END AS media_type,
          octet_length(encode(text))::INT AS n_bytes,
          sha256(text) AS sha
@@ -2105,7 +2105,7 @@ def media_meta(spark, sf_dir):
 _MEDIA_RESIZE_SQL = """
 WITH p AS (
   SELECT doc_id,
-         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         CASE (((doc_id % 3) + 3) % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
               ELSE 'video' END AS media_type,
          text, sha256(text) AS sha
   FROM documents
@@ -2117,10 +2117,10 @@ WITH p AS (
 ), r AS (
   SELECT *,
          CASE WHEN greatest(width, height) <= 64 THEN width
-              ELSE (width * 64 // greatest(width, height))::INT
+              ELSE greatest((width * 64 // greatest(width, height))::INT, 1)
          END AS new_width,
          CASE WHEN greatest(width, height) <= 64 THEN height
-              ELSE (height * 64 // greatest(width, height))::INT
+              ELSE greatest((height * 64 // greatest(width, height))::INT, 1)
          END AS new_height
   FROM d
 )
@@ -2149,7 +2149,7 @@ _MEDIA_FRAMES_SQL = """
 WITH p AS (
   SELECT doc_id, text, sha256(text) AS sha
   FROM documents
-  WHERE doc_id % 3 = 2
+  WHERE ((doc_id % 3) + 3) % 3 = 2
 ), v AS (
   SELECT doc_id, text,
          ('0x' || substr(sha, 5, 2))::INT * 256

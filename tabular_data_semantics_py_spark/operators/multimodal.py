@@ -37,7 +37,10 @@ def synth_media(docs: DataFrame, text_col: str = "text",
         F.col(id_col).alias("doc_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col(id_col) % 3 + 1).cast("int"),
+            # pmod, not %: a negative id would make the index 0 (a
+            # runtime INVALID_INDEX_OF_ZERO) or negative (silently
+            # counts from the END of the array)
+            (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
         ).alias("media_type"),
         payload.alias("payload"),
         F.length(payload).alias("n_bytes"),
@@ -152,7 +155,15 @@ def _fit_dims(width: int, height: int, target: int) -> tuple[int, int]:
     longest = max(width, height)
     if longest <= target:
         return width, height
-    return width * target // longest, height * target // longest
+    # clamp: an extreme aspect ratio (1 x 1000 at target 64) floors
+    # the short edge to 0, which is not a valid image dimension — and
+    # the real-PIL path would resize to max(n, 1) while the row still
+    # reported the 0, so the artifact sha could not be reproduced
+    # from the reported dims. Clamp HERE so report and artifact agree.
+    return (
+        max(width * target // longest, 1),
+        max(height * target // longest, 1),
+    )
 
 
 def resize_media(media: DataFrame, target: int = 64,

@@ -35,9 +35,35 @@ def _dot(a, b):
 
 def cosine_expr(a, b):
     """Sequential-fold cosine: dot/(sqrt(dot_aa)*sqrt(dot_bb)) over
-    double-cast arrays — deterministic, SQL-oracle-matchable."""
+    double-cast arrays — deterministic, SQL-oracle-matchable.
+
+    A zero-norm vector (e.g. the embedding of an empty document) has
+    no defined cosine: the denominator is nullif-guarded so the result
+    is NULL — which fails every downstream ``>= threshold`` filter and
+    the top-k NULL filter — instead of raising DIVIDE_BY_ZERO under
+    Spark 4's default ANSI mode (where one degenerate row would abort
+    the whole job). Non-zero denominators are untouched, so the
+    bit-for-bit oracle parity holds wherever cosine is defined."""
     ad, bd = _as_double(a), _as_double(b)
-    return _dot(ad, bd) / (F.sqrt(_dot(ad, ad)) * F.sqrt(_dot(bd, bd)))
+    denom = F.sqrt(_dot(ad, ad)) * F.sqrt(_dot(bd, bd))
+    return _dot(ad, bd) / F.nullif(denom, F.lit(0.0))
+
+
+def valid_vectors(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Rows whose vector the numpy (mapInPandas/applyInPandas) stages
+    can consume: non-NULL and free of NULL elements. The JVM
+    expression paths null such rows out of results naturally (cosine
+    over NULL is NULL and fails every filter/rank); ``np.array(...,
+    dtype=float64)`` would instead raise inside the worker and kill
+    the job — so every GEMM-stage entry point shares this JVM-side
+    pre-filter. Zero vectors are KEPT: their cosine is NULL (nullif
+    guard in ``cosine_expr``), so they pair with nothing, identically
+    in both path families. Ragged dimensions remain a caller
+    precondition (one embedding model per table)."""
+    return emb.where(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
 
 
 def cosine_pairs(
@@ -98,6 +124,11 @@ def _two_phase_topk(scored: DataFrame, nid_col: str, k: int) -> DataFrame:
     there — the single-task-sort shape that breaks at 10^9 vectors
     (same fix as the fragment caps, operators/topk.py). Exact same
     rows out: top-k with a deterministic order is plan-independent."""
+    # NULL cos = undefined similarity (zero-norm or NULL embedding on
+    # either side): never a neighbor. Also load-bearing for ordering —
+    # array_sort places a NULL struct field FIRST, so an unfiltered
+    # NULL score would outrank every real neighbor.
+    scored = scored.where(F.col("cos").isNotNull())
     key = F.struct(
         (-F.col("cos")).alias("nc"), F.col(nid_col).alias("nid")
     )
@@ -143,6 +174,7 @@ def cosine_pairs_blocked(
 
     Output ≡ ``cosine_pairs``.
     """
+    emb = valid_vectors(emb, vec_col)
     tagged = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
@@ -293,6 +325,7 @@ def srp_lsh_pairs(
     r_bits = n_bits // n_bands
     if r_bits > 63:
         raise ValueError("band keys must fit a signed long")
+    emb = valid_vectors(emb, vec_col)
     head = emb.select(vec_col).first()
     if head is None:
         raise ValueError("srp_lsh_pairs: empty embedding table")
@@ -419,6 +452,7 @@ def train_ivf_centroids(
         with np.errstate(invalid="ignore", divide="ignore"):
             return M / np.linalg.norm(M, axis=1, keepdims=True)
 
+    emb = valid_vectors(emb, vec_col)
     init_rows = (
         emb.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
@@ -495,6 +529,9 @@ def ivf_knn(
     """
     import numpy as np
 
+    # both the driver-side query matrix and the assignment GEMM go
+    # through numpy — share the NULL-vector pre-filter
+    emb = valid_vectors(emb, vec_col)
     q_rows = emb.where(F.col(id_col).isin(query_ids)).collect()
     if not q_rows:
         # empty/unknown query set: return an empty result with the

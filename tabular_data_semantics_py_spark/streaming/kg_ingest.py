@@ -80,15 +80,21 @@ def stream_kg_triples(
         if not batch_df.take(1):
             return
         before = list_generations(spark)
-        dfs = dict(static_dfs)
-        dfs["source_repos"] = batch_df
-        res = run_pipeline(spark, dfs)
-        res.stages["triples"].write.mode("append").parquet(triples_dir)
-        # this batch's stage barriers are dead the moment the append
-        # commits — reclaim them per batch (and ONLY them: an earlier
-        # batch-mode run_pipeline's barriers in this session may still
-        # back live DataFrames)
-        reclaim_new_generations(spark, before)
+        try:
+            dfs = dict(static_dfs)
+            dfs["source_repos"] = batch_df
+            res = run_pipeline(spark, dfs)
+            res.stages["triples"].write.mode("append").parquet(triples_dir)
+        finally:
+            # this batch's stage barriers are dead the moment the
+            # append commits — and equally dead if the batch FAILED
+            # (the retry writes a fresh generation set), so reclaim in
+            # a finally: a flaky long backlog must not accumulate dead
+            # fact-scale parquet on the tmpfs-preferring scratch until
+            # process exit. Reclaim ONLY this batch's generations: an
+            # earlier batch-mode run_pipeline's barriers in this
+            # session may still back live DataFrames.
+            reclaim_new_generations(spark, before)
 
     (
         stream.writeStream.foreachBatch(_batch)

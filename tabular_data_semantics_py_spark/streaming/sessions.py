@@ -170,13 +170,14 @@ def sessionize_batch(events: DataFrame, gap_min: int = 30) -> DataFrame:
     gap_ms = gap_min * 60 * 1000
     from pyspark.sql.window import Window
 
-    ms = (
-        F.expr(
-            "timestampdiff(MICROSECOND, "
-            "cast('1970-01-01 00:00:00' as timestamp_ntz), "
-            "cast(ts as timestamp_ntz)) div 1000"
-        )
-    ).cast("long")
+    # unix_millis of the INSTANT (cast ts as timestamp resolves a
+    # string in the session timezone, exactly like the stream path's
+    # cast) — NOT a timestamp_ntz wall-clock reinterpretation: that
+    # would emit session-tz-local "epoch" ms that diverge from the
+    # stream's true-UTC output by the zone offset in any non-UTC
+    # session, and a DST fall-back repeat would wrongly merge two
+    # events an hour apart into one session
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy("ms")
     wrun = Window.partitionBy("user_id").orderBy("ms").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -103,8 +103,23 @@ def test_fit_dims_integer_thumbnail():
     assert _fit_dims(40, 64, 64) == (40, 64)
     # floor, not round: 150*64//200 = 48
     assert _fit_dims(200, 150, 64) == (64, 48)
-    # shorter edge can floor to 0 on extreme aspect — documented
-    assert _fit_dims(1000, 1, 64) == (64, 0)
+    # extreme aspect: the shorter edge floors to 0, which is not a
+    # valid image dimension and would desync the reported dims from
+    # the real-PIL artifact (which resizes to >= 1px) — clamped to 1
+    assert _fit_dims(1000, 1, 64) == (64, 1)
+    assert _fit_dims(1, 1000, 64) == (1, 64)
+
+
+def test_synth_media_negative_ids(spark):
+    """media_type rotation is pmod-based: a negative doc_id must pick
+    the sign-safe rotation slot, not index 0 (runtime error) or a
+    from-the-end element_at."""
+    docs = spark.createDataFrame(
+        [(-1, "a"), (-2, "b"), (-3, "c"), (0, "d")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.media_type for r in synth_media(docs).collect()}
+    assert rows == {-3: "image", -2: "audio", -1: "video", 0: "image"}
 
 
 def test_resize_media_stub_spark(spark):

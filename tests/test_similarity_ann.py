@@ -220,3 +220,43 @@ def test_srp_canonicalize_collapses_tight_clusters(spark):
         assert is_c == (canon == v)
     assert sum(1 for c, _ in got.values() if c in got and got[c][1]) == vid
     assert len({c for c, _ in got.values()}) == 6  # one per planted cluster
+
+
+def test_degenerate_vectors_never_pair_rank_or_crash(spark):
+    """Zero-norm, NULL, and NULL-element embeddings are droppable rows,
+    not job killers: cosine is NULL under the nullif guard (no ANSI
+    DIVIDE_BY_ZERO abort), the numpy stages pre-filter what they can't
+    convert, and a NULL score can never become everyone's rank-1
+    neighbor via the NULL-first struct sort. Every path family must
+    agree: only the one well-defined pair survives."""
+    from tabular_data_semantics_py_spark.operators.similarity import (
+        srp_lsh_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),   # zero norm: cosine undefined
+        (3, None),          # NULL vector
+        (4, [0.5, None]),   # NULL element
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint()
+
+    pairs = {(r.i, r.j) for r in cosine_pairs(emb, 0.5).collect()}
+    assert pairs == {(0, 1)}
+    assert {
+        (r.i, r.j) for r in cosine_pairs_blocked(emb, 0.5).collect()
+    } == pairs
+    assert {
+        (r.i, r.j)
+        for r in srp_lsh_pairs(
+            emb, spark, 0.5, n_bits=256, n_bands=32
+        ).collect()
+    } == pairs
+
+    knn = knn_bruteforce(emb, [0], k=4).collect()
+    assert [(r.neighbor_id, r.rank) for r in knn] == [(1, 1)]
+    ivf = ivf_knn(emb, spark, query_ids=[0], k=4, n_centroids=2).collect()
+    assert all(r.neighbor_id == 1 for r in ivf)

@@ -311,3 +311,28 @@ def test_sessionizer_watermark_comparison_in_non_utc_tz():
     assert state.exists
     starts, ends, ns = state.get
     assert ends[0] == true_epoch  # stored as true epoch ms
+
+
+def test_batch_sessionizer_emits_true_epoch_in_non_utc_tz(spark):
+    """sessionize_batch must emit TRUE UTC epoch ms (what the stream
+    path emits) in any session timezone — a timestamp_ntz wall-clock
+    reinterpretation would shift the output by the zone offset and
+    merge DST fall-back repeats."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        ev = spark.createDataFrame(
+            [(1, "2021-01-15 12:00:00"), (1, "2021-01-15 12:10:00")],
+            "user_id long, ts string",
+        )
+        rows = sessionize_batch(ev, gap_min=30).collect()
+        # 12:00 IST == 06:30 UTC
+        want = int(
+            pd.Timestamp("2021-01-15 06:30:00", tz="UTC").value // 10**6
+        )
+        assert len(rows) == 1
+        assert rows[0].session_start == want
+        assert rows[0].session_end == want + 10 * 60 * 1000
+        assert rows[0].n_events == 2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
