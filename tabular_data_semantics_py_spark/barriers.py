@@ -131,6 +131,13 @@ def reclaim_new_generations(spark: SparkSession, before: set[str]) -> None:
     snapshot. Scoped alternative to ``clear_scratch``: DataFrames
     produced before the snapshot stay readable; everything the scoped
     region wrote is reclaimed (so the region's own outputs must be
-    fully consumed by the time this runs)."""
+    fully consumed by the time this runs).
+
+    PRECONDITION — no concurrent barrier writers: the snapshot diff
+    cannot tell the scoped region's generations from generations some
+    OTHER in-flight work created after the snapshot, and would delete
+    those too. Safe against earlier (completed) pipelines' still-live
+    barriers; NOT safe against barrier-writing work running in
+    parallel with the scoped region."""
     for d in list_generations(spark) - before:
         shutil.rmtree(d, ignore_errors=True)

@@ -1017,13 +1017,14 @@ def kg_redirect_sameas(spark, sf_dir):
 def _o_canonical_ids():
     corpus, _, _ = _fixture()
     # degenerate-edge policy (mirrored EXACTLY by the Spark query):
-    # empty-string endpoints are malformed -> no edge; a self-edge
-    # (self-redirect / reflexive sameAs) is a no-op identity assertion
-    # -> no edge, so a node mentioned ONLY by a self-edge gets no row
+    # NULL/empty-string endpoints — on EITHER side, src included — are
+    # malformed -> no edge; a self-edge (self-redirect / reflexive
+    # sameAs) is a no-op identity assertion -> no edge, so a node
+    # mentioned ONLY by a self-edge gets no row
     rows = [
         (e.uri, e.redirect_to)
         for e in corpus.entities
-        if e.redirect_to and e.redirect_to != e.uri
+        if e.uri and e.redirect_to and e.redirect_to != e.uri
     ] + [(a, b) for a, b in corpus.cross_sameas if a and b and a != b]
     # exact reachability closure via recursive CTE, then min per node —
     # the ground-truth connected-components semantics
@@ -1054,11 +1055,16 @@ def kg_canonical_ids(spark, sf_dir):
     dfs = _dfs(spark)
     idx = dfs["entity_index"]
     # degenerate-edge policy (same as the oracle): NULL/empty
-    # endpoints and self-edges are not identity edges — a node
-    # mentioned only by a self-redirect gets no canonical-id row
+    # endpoints — on either side, src included — and self-edges are
+    # not identity edges; a node mentioned only by a self-redirect
+    # gets no canonical-id row. The src-side guard also keeps a NULL
+    # uri from silently dropping the edge via the three-valued
+    # `redirect_to != uri` (the oracle would have kept it) and an
+    # empty-string uri from becoming the component minimum.
     edges = (
         idx.where(
-            F.col("redirect_to").isNotNull()
+            F.col("uri").isNotNull() & (F.col("uri") != "")
+            & F.col("redirect_to").isNotNull()
             & (F.col("redirect_to") != "")
             & (F.col("redirect_to") != F.col("uri"))
         )
@@ -1763,38 +1769,61 @@ def _srp_pairs_scalar():
     exact sequential operand order. Hyperplanes re-derived from
     (n_bits, dim, seed) via the pure-Python XXH64 mirror — shared
     *parameters*, independent *computation* (the doc_simhash oracle
-    precedent). Returns (sorted i<j pair list, sorted vec_id list) —
-    shared by the pair oracle and the canonicalization oracle."""
+    precedent). Returns (sorted i<j pair list, sorted vec_id list over
+    ALL rows) — shared by the pair oracle and the canonicalization
+    oracle, memoized per oracle sf-dir (the O(n·n_bits·dim) projection
+    loop is the most expensive scalar oracle build; the _fixture
+    pattern)."""
     import duckdb
 
     from .operators.similarity import srp_hyperplanes
 
     n_bits, n_bands, tau = 128, 16, 0.4
     sf_dir = _oracle_sf_dir()
+    memo_key = ("srp_pairs_scalar", sf_dir)
+    if memo_key in _STATE:
+        return _STATE[memo_key]
     rows = duckdb.connect().execute(
         "SELECT vec_id, embedding FROM "
         f"read_parquet('{sf_dir}/embeddings.parquet')"
     ).fetchall()
-    dim = len(rows[0][1])
+    # degenerate-vector policy, mirroring the operator exactly:
+    # NULL vectors / NULL elements are dropped by valid_vectors before
+    # the numpy stages (they appear in the id list but never pair);
+    # zero-norm vectors ARE signed and bucketed but their cosine is
+    # NULL under cosine_expr's nullif guard, so they fail the verify.
+    ids = sorted(vid for vid, _ in rows)
+    valid = [
+        (vid, vec)
+        for vid, vec in rows
+        if vec is not None and all(v is not None for v in vec)
+    ]
+    dim = len(valid[0][1])
     H = srp_hyperplanes(n_bits, dim)
     r_bits = n_bits // n_bands
     buckets: dict[tuple[int, int], list[int]] = {}
     vecs: dict[int, list[float]] = {}
-    for vid, vec in rows:
+    for vid, vec in valid:
         vecs[vid] = vec
-        # same integer quantization as the operator (similarity.py
-        # signatures): ±1 hyperplanes × integer components make the
-        # projection sum EXACT under any summation order, so this
-        # sequential loop provably equals the operator's GEMM.
-        # round() is half-to-even, matching np.rint.
-        q = [round(v * 65536.0) for v in vec]
-        bits = []
-        for b in range(n_bits):
-            acc = 0
-            hb = H[b]
-            for d in range(dim):
-                acc += q[d] if hb[d] > 0 else -q[d]
-            bits.append(1 if acc > 0 else 0)
+        if any(v != v for v in vec):
+            # a NaN component makes every operator projection NaN and
+            # NaN > 0 is False — all bits 0 (the verify cosine is NaN
+            # too, so such a vector can never emit a pair)
+            bits = [0] * n_bits
+        else:
+            # same integer quantization as the operator (similarity.py
+            # signatures): ±1 hyperplanes × integer components make the
+            # projection sum EXACT under any summation order, so this
+            # sequential loop provably equals the operator's GEMM.
+            # round() is half-to-even, matching np.rint.
+            q = [round(v * 65536.0) for v in vec]
+            bits = []
+            for b in range(n_bits):
+                acc = 0
+                hb = H[b]
+                for d in range(dim):
+                    acc += q[d] if hb[d] > 0 else -q[d]
+                bits.append(1 if acc > 0 else 0)
         for band in range(n_bands):
             key = 0
             for k in range(r_bits):
@@ -1807,7 +1836,10 @@ def _srp_pairs_scalar():
             dot += x * y
             naa += x * x
             nbb += y * y
-        return dot / (naa**0.5 * nbb**0.5)
+        denom = naa**0.5 * nbb**0.5
+        # zero-norm → NULL cosine in the operator (nullif guard);
+        # None here fails the >= tau comparison the same way
+        return dot / denom if denom else None
 
     cand = set()
     for members in buckets.values():
@@ -1816,9 +1848,12 @@ def _srp_pairs_scalar():
             for jj in range(ii + 1, len(members)):
                 cand.add((members[ii], members[jj]))
     out = sorted(
-        (i, j) for i, j in cand if cos(vecs[i], vecs[j]) >= tau
+        (i, j)
+        for i, j in cand
+        if (c := cos(vecs[i], vecs[j])) is not None and c >= tau
     )
-    return out, sorted(vecs)
+    _STATE[memo_key] = (out, ids)
+    return _STATE[memo_key]
 
 
 def _o_srp_neardup():

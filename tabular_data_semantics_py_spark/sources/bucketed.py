@@ -102,10 +102,14 @@ def formatted_explain(df: DataFrame) -> str:
 def count_nodes(plan_text: str, node: str) -> int:
     """Number of NODES named ``node`` in a formatted explain. Counts
     node ids (``(N) Node``), not substring occurrences — the formatted
-    form prints each node twice (tree + detail section)."""
+    form prints each node twice (tree + detail section) — and anchors
+    the name with a word boundary so 'Sort' does not also count
+    SortMergeJoin/SortAggregate headers."""
     import re
 
-    return len(re.findall(r"\(\d+\) " + re.escape(node), plan_text))
+    return len(
+        re.findall(r"\(\d+\) " + re.escape(node) + r"\b", plan_text)
+    )
 
 
 def count_exchanges(plan_text: str) -> int:

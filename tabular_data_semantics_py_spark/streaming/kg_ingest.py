@@ -67,9 +67,14 @@ def stream_kg_triples(
     — without that, a long-lived/large-backlog drain would
     monotonically fill the (tmpfs-preferring) scratch volume with one
     dead generation set per micro-batch, reclaimed only at process
-    exit. The scoped reclaim leaves any earlier ``run_pipeline``
-    call's still-live barriers untouched, so running a drain in the
-    same session as a batch pipeline is safe.
+    exit. The scoped reclaim leaves any EARLIER (completed)
+    ``run_pipeline`` call's still-live barriers untouched — but it is
+    a snapshot diff, so do NOT run other barrier-writing work (a batch
+    ``run_pipeline``, a second drain) in the same session WHILE a
+    micro-batch is in flight: generations created after the batch's
+    snapshot are indistinguishable from the batch's own and would be
+    reclaimed with them (barriers.reclaim_new_generations
+    precondition).
     """
     from ..barriers import list_generations, reclaim_new_generations
     from ..plans.pipeline import run_pipeline

@@ -61,3 +61,22 @@ def test_bucketed_join_plans_without_index_exchange(spark, bucketed_table):
     )
     want = {(r.mention_norm, r.uri) for r in ref.collect()}
     assert got == want and len(got) == 50
+
+
+def test_count_nodes_is_boundary_anchored():
+    """'Sort' must not also count SortMergeJoin/SortAggregate detail
+    headers — node names are word-boundary anchored."""
+    from tabular_data_semantics_py_spark.sources.bucketed import (
+        count_nodes,
+    )
+
+    plan = (
+        "(1) Sort [codegen id : 1]\n"
+        "(2) SortMergeJoin Inner\n"
+        "(3) Sort\n"
+        "(4) Exchange hashpartitioning\n"
+        "(5) BroadcastExchange\n"
+    )
+    assert count_nodes(plan, "Sort") == 2
+    assert count_nodes(plan, "SortMergeJoin") == 1
+    assert count_nodes(plan, "Exchange") == 1
