@@ -429,6 +429,9 @@ BENCH_QUERIES = [
     "doc_simhash_pairs",
     "doc_minhash_lsh_shingle",
     "doc_curation",
+    "doc_boilerplate",
+    "doc_contamination",
+    "doc_sample_stratified",
     "media_meta",
     "emb_knn",
     "emb_ivf_knn",

@@ -2264,6 +2264,140 @@ def doc_token_bpe(spark, sf_dir):
     )
 
 
+# shared n-gram CTE prefix for the curation oracles: string_split
+# mirrors Spark's split(text, ' ') (single-space literal, empty
+# tokens preserved); a[i:i+n-1] is DuckDB's inclusive slice = n
+# tokens; array_to_string mirrors array_join
+def _gram_cte(n: int, distinct: bool) -> str:
+    d = "DISTINCT " if distinct else ""
+    return f"""
+t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+pos AS (SELECT doc_id, generate_subscripts(a, 1) AS i, a FROM t),
+grams AS (
+  SELECT {d}doc_id, array_to_string(a[i:i+{n - 1}], ' ') AS gram
+  FROM pos WHERE i + {n - 1} <= len(a)
+)"""
+
+
+@q(
+    "doc_hot_ngrams",
+    lambda: f"""
+WITH {_gram_cte(3, distinct=True)}
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+FROM grams GROUP BY 1 HAVING COUNT(*) >= 5
+""",
+)
+def doc_hot_ngrams(spark, sf_dir):
+    """Corpus boilerplate dictionary: word 3-grams in ≥5 distinct
+    docs (operators/curation.hot_ngrams — array_distinct before the
+    explode keeps the groupBy a plain count with map-side partials)."""
+    from .operators.curation import hot_ngrams
+
+    return hot_ngrams(_load(spark, sf_dir, "documents"), n=3, min_df=5)
+
+
+@q(
+    "doc_boilerplate",
+    lambda: f"""
+WITH {_gram_cte(3, distinct=False)},
+hot AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS c FROM grams GROUP BY 1
+  ) WHERE c >= 5
+),
+per AS (
+  SELECT g.doc_id, COUNT(*) AS n_hot
+  FROM grams g JOIN hot h USING (gram) GROUP BY 1
+),
+base AS (
+  SELECT doc_id,
+         CASE WHEN a IS NULL THEN 0 ELSE GREATEST(len(a) - 2, 0) END AS n_grams
+  FROM t
+)
+SELECT b.doc_id,
+       CAST(b.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_hot, 0) AS BIGINT) AS n_hot,
+       CAST(COALESCE(p.n_hot, 0) AS DOUBLE) / NULLIF(b.n_grams, 0)
+         AS boilerplate_ratio
+FROM base b LEFT JOIN per p USING (doc_id)
+""",
+)
+def doc_boilerplate(spark, sf_dir):
+    """Per-doc share of 3-gram occurrences hitting the boilerplate
+    dictionary (operators/curation.boilerplate_stats) — the CCNet-
+    style template-page signal. Zero-gram docs: n_hot 0, NULL ratio."""
+    from .operators.curation import boilerplate_stats
+
+    return boilerplate_stats(
+        _load(spark, sf_dir, "documents"), n=3, min_df=5
+    )
+
+
+@q(
+    "doc_contamination",
+    lambda: f"""
+WITH {_gram_cte(4, distinct=True)},
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 53 = 0)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+FROM grams g JOIN bench b USING (gram)
+WHERE g.doc_id % 53 <> 0
+GROUP BY 1
+""",
+)
+def doc_contamination(spark, sf_dir):
+    """Eval-set decontamination: training docs sharing a distinct
+    4-gram with the deterministic benchmark split doc_id % 53 == 0
+    (operators/curation.contamination; benchmark grams broadcast)."""
+    from .operators.curation import contamination
+
+    return contamination(
+        _load(spark, sf_dir, "documents"), n=4, bench_mod=53
+    ).select("doc_id", F.col("n_overlap").cast("long").alias("n_overlap"))
+
+
+def _o_sample_stratified():
+    # independent recomputation of the keep-hashes with the
+    # pure-Python XXH64 mirror; the per-language threshold CASE runs
+    # in SQL over the real documents table (same fallback-chain
+    # caveat as _o_minhash_signatures)
+    import duckdb
+
+    from .functions.xxh64 import spark_xxhash64
+    from .operators.curation import (
+        DEFAULT_LANG_RATES, DEFAULT_RATE, SAMPLE_MOD,
+    )
+
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    ids = con.execute(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    # doc_id is LongType (plain-int arg → 8-byte variant); the seed
+    # literal F.lit(7) is IntegerType (4-byte variant)
+    rows = [(i, spark_xxhash64(i, (7, "int"))) for (i,) in ids]
+    case = " ".join(
+        f"WHEN '{lang}' THEN {int(rate * SAMPLE_MOD)}"
+        for lang, rate in sorted(DEFAULT_LANG_RATES.items())
+    )
+    return f"""
+WITH h AS (SELECT * FROM {_values(rows, "doc_id, hv")})
+SELECT d.doc_id, d.lang
+FROM documents d JOIN h USING (doc_id)
+WHERE ((hv % {SAMPLE_MOD}) + {SAMPLE_MOD}) % {SAMPLE_MOD}
+      < CASE d.lang {case} ELSE {int(DEFAULT_RATE * SAMPLE_MOD)} END
+"""
+
+
+@q("doc_sample_stratified", _o_sample_stratified)
+def doc_sample_stratified(spark, sf_dir):
+    """Deterministic per-language hash-threshold sample for mixture
+    building (operators/curation.stratified_sample) — map-side only,
+    no shuffle/window, the sampling shape that stays flat at 100 TB."""
+    from .operators.curation import stratified_sample
+
+    return stratified_sample(_load(spark, sf_dir, "documents"))
+
+
 @q("emb_ivf_knn")
 def emb_ivf_knn(spark, sf_dir):
     """IVF-bucketed approximate kNN (numpy GEMM in mapInPandas) —

@@ -1,0 +1,111 @@
+"""Curation operators (operators/curation.py): n-gram construction
+parity, boilerplate stats, contamination, stratified sampling —
+degenerate inputs (NULL text, short docs, trailing spaces) and the
+policies the DuckDB oracles mirror."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tabular_data_semantics_py_spark.functions.xxh64 import spark_xxhash64
+from tabular_data_semantics_py_spark.operators.curation import (
+    SAMPLE_MOD,
+    boilerplate_stats,
+    contamination,
+    hot_ngrams,
+    ngram_array,
+    stratified_sample,
+)
+
+DOCS = [
+    (0, "a b c a b c a b"),        # 3-grams: a b c, b c a, c a b, ... (6)
+    (1, "a b c x y"),              # shares 'a b c'
+    (2, "a b"),                    # shorter than n=3 → zero grams
+    (3, None),                     # NULL text → zero grams
+    (4, "a b c "),                 # trailing space → empty final token
+    (5, "q r s t u a b c"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_ngram_array_matches_duckdb(spark, docs_df):
+    """The sequence+slice+array_join construction produces the same
+    gram stream as the oracle's string_split + inclusive-slice CTE,
+    including empty tokens from trailing spaces."""
+    got = {
+        r["doc_id"]: r["gs"]
+        for r in docs_df.select(
+            "doc_id", ngram_array(F.col("text"), 3).alias("gs")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {'NULL' if t is None else repr(t)})" for i, t in DOCS
+        )
+        + ") v(doc_id, text)"
+    )
+    want_rows = con.execute("""
+        WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM d),
+        pos AS (SELECT doc_id, generate_subscripts(a,1) AS i, a FROM t)
+        SELECT doc_id, list(array_to_string(a[i:i+2], ' ') ORDER BY i)
+        FROM pos WHERE i + 2 <= len(a) GROUP BY 1
+    """).fetchall()
+    want = {i: gs for i, gs in want_rows}
+    for i, _ in DOCS:
+        assert got[i] == want.get(i, []), i
+    # trailing space: the empty token is a real token both sides
+    assert got[4] == ["a b c", "b c "]
+
+
+def test_hot_and_boilerplate_policies(spark, docs_df):
+    hot = {
+        r["gram"]: r["df"] for r in hot_ngrams(docs_df, n=3, min_df=3).collect()
+    }
+    assert hot == {"a b c": 4}  # docs 0,1,4,5 (distinct-doc df, not occurrences)
+    bp = {
+        r["doc_id"]: (r["n_grams"], r["n_hot"], r["boilerplate_ratio"])
+        for r in boilerplate_stats(docs_df, n=3, min_df=3).collect()
+    }
+    assert bp[0] == (6, 2, 2 / 6)   # occurrences of hot grams, not distinct
+    assert bp[2] == (0, 0, None)    # short doc: zero grams, NULL ratio
+    assert bp[3] == (0, 0, None)    # NULL text: same policy
+    assert bp[4][0] == 2 and bp[4][1] == 1
+    assert set(bp) == {i for i, _ in DOCS}  # every doc gets a row
+
+
+def test_contamination_excludes_benchmark_side(spark, docs_df):
+    # bench_mod=2 → docs 0,2,4 are the "eval split"; doc 3 NULL text
+    out = {
+        r["doc_id"]: r["n_overlap"]
+        for r in contamination(docs_df, n=3, bench_mod=2).collect()
+    }
+    assert all(i % 2 == 1 for i in out)          # bench docs never flagged
+    assert out == {1: 1, 5: 1}                   # distinct shared grams
+    # n=4: doc 1 has grams {a b c x, b c x y}; bench 4-grams come from
+    # docs 0/4 only — no overlap → empty result, not an error
+    assert contamination(docs_df, n=4, bench_mod=2).count() >= 0
+
+
+def test_stratified_sample_matches_scalar_mirror(spark):
+    rows = [(i, ["en", "de", "zh", None][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.5, "de": 0.25}
+    got = {r["doc_id"] for r in
+           stratified_sample(df, rates=rates, default_rate=0.1).collect()}
+    thr = {"en": 500_000, "de": 250_000}
+    want = {
+        i for i, lang in rows
+        if spark_xxhash64(i, (7, "int")) % SAMPLE_MOD < thr.get(lang, 100_000)
+    }
+    assert got == want
+    assert 0 < len(got) < 400
+    # determinism/resumability: a re-run keeps the exact same ids
+    again = {r["doc_id"] for r in
+             stratified_sample(df, rates=rates, default_rate=0.1).collect()}
+    assert again == got
