@@ -432,6 +432,7 @@ BENCH_QUERIES = [
     "doc_boilerplate",
     "doc_contamination",
     "doc_sample_stratified",
+    "doc_repetition",
     "media_meta",
     "emb_knn",
     "emb_ivf_knn",

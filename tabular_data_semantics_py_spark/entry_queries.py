@@ -2398,6 +2398,41 @@ def doc_sample_stratified(spark, sf_dir):
     return stratified_sample(_load(spark, sf_dir, "documents"))
 
 
+@q(
+    "doc_repetition",
+    lambda: f"""
+WITH {_gram_cte(2, distinct=False)},
+words AS (SELECT doc_id, unnest(a) AS w FROM t),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2),
+ws AS (SELECT doc_id, SUM(c) AS n_words, MAX(c) AS max_w
+       FROM wc GROUP BY 1),
+gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+gs AS (SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_dist,
+              MAX(c) AS max_g
+       FROM gc GROUP BY 1)
+SELECT t.doc_id,
+       CAST(COALESCE(ws.n_words, 0) AS BIGINT) AS n_words,
+       CAST(ws.max_w AS DOUBLE) / NULLIF(ws.n_words, 0)
+         AS top_word_share,
+       CAST(COALESCE(gs.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(gs.n_grams - gs.n_dist AS DOUBLE) / NULLIF(gs.n_grams, 0)
+         AS dup_gram_ratio,
+       CAST(gs.max_g AS DOUBLE) / NULLIF(gs.n_grams, 0)
+         AS top_gram_share
+FROM t LEFT JOIN ws USING (doc_id) LEFT JOIN gs USING (doc_id)
+""",
+)
+def doc_repetition(spark, sf_dir):
+    """Gopher-family within-document repetition signals
+    (operators/curation.repetition_stats): top-word share, duplicate
+    2-gram ratio, top-2-gram share — computed inside the row with
+    array_sort + aggregate run-length folds, zero shuffle/explode
+    (the oracle recomputes them relationally via explode+groupBy)."""
+    from .operators.curation import repetition_stats
+
+    return repetition_stats(_load(spark, sf_dir, "documents"), n=2)
+
+
 @q("emb_ivf_knn")
 def emb_ivf_knn(spark, sf_dir):
     """IVF-bucketed approximate kNN (numpy GEMM in mapInPandas) —

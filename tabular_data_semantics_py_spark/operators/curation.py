@@ -176,3 +176,78 @@ def stratified_sample(docs: DataFrame,
     return docs.where(h < thr).select(
         F.col(id_col).alias("doc_id"), F.col(strat_col)
     )
+
+
+def max_multiplicity(arr):
+    """Max multiplicity of any element of a string array — the length
+    of the longest run of equal adjacent elements after ``array_sort``,
+    folded with an ``aggregate`` over a (prev, run, best) struct
+    accumulator. Pure whole-stage codegen per row: no explode, no
+    shuffle, no UDF. Empty array → 0; NULL array → NULL.
+    """
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(arr), zero, step, lambda acc: acc["best"])
+
+
+def repetition_stats(docs: DataFrame, n: int = 2, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, n_words, top_word_share, n_grams, dup_gram_ratio,
+    top_gram_share): the Gopher-family within-document repetition
+    signals (Rae et al. 2021 §A1.1) — templated / spammy pages repeat
+    themselves, and these three ratios are the standard filters:
+
+    - ``top_word_share``:  count of the most frequent word / n_words
+    - ``dup_gram_ratio``:  fraction of word-``n``-gram occurrences
+      that are repeats of an earlier occurrence, i.e.
+      (n_grams − n_distinct_grams) / n_grams
+    - ``top_gram_share``:  count of the most frequent n-gram / n_grams
+
+    Every signal is computed *inside the row* with higher-order
+    functions (``array_sort`` + ``aggregate`` run-length fold,
+    ``array_distinct``) — zero shuffle, zero explode: at 100 TB this
+    is a map-only pass that AQE never has to think about, unlike the
+    explode→groupBy shape which would shuffle ~10× the corpus in gram
+    rows. Degenerate inputs: NULL text → all counts 0; ratios are
+    NULL whenever their denominator is 0 (undefined, NULLIF shape in
+    the oracle).
+
+    Tokenizer: ``split(text, ' ')`` (single-space literal), shared
+    with ``ngram_array`` and the DuckDB ``string_split`` oracle.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = ngram_array(F.col(text_col), n)
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.size(toks), F.lit(0)).alias("n_words"),
+        F.coalesce(max_multiplicity(toks), F.lit(0)).alias("max_w"),
+        F.size(grams).alias("n_grams"),  # never NULL: [] for bad text
+        F.size(F.array_distinct(grams)).alias("n_dist"),
+        max_multiplicity(grams).alias("max_g"),
+    )
+    nw = F.col("n_words")
+    ng = F.col("n_grams")
+    return t.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        F.when(nw > 0, F.col("max_w").cast("double") / nw)
+        .alias("top_word_share"),
+        ng.cast("long").alias("n_grams"),
+        F.when(ng > 0, (ng - F.col("n_dist")).cast("double") / ng)
+        .alias("dup_gram_ratio"),
+        F.when(ng > 0, F.col("max_g").cast("double") / ng)
+        .alias("top_gram_share"),
+    )

@@ -109,3 +109,79 @@ def test_stratified_sample_matches_scalar_mirror(spark):
     again = {r["doc_id"] for r in
              stratified_sample(df, rates=rates, default_rate=0.1).collect()}
     assert again == got
+
+
+def test_repetition_stats_degenerate_and_scalar(spark):
+    """repetition_stats vs a scalar Python recomputation on an
+    adversarial corpus: NULL text, empty string, single token,
+    all-identical tokens, trailing spaces. Pins the degenerate policy
+    (counts 0, ratios NULL when the denominator is 0) and the
+    run-length max-multiplicity fold."""
+    from collections import Counter
+
+    from tabular_data_semantics_py_spark.operators.curation import (
+        repetition_stats,
+    )
+
+    rows = [
+        (0, None),            # NULL: n_words 0, everything NULL
+        (1, ""),              # empty string → one empty token
+        (2, "a"),             # 1 token → zero 2-grams
+        (3, "a a a a"),       # total repetition: shares 1.0
+        (4, "a b a b a"),     # dup grams: 'a b'x2 'b a'x2 of 4
+        (5, "x y "),          # trailing space → empty final token
+        (6, "a b c d"),       # no repetition: dup ratio 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in repetition_stats(df, n=2).collect()}
+
+    for doc_id, text in rows:
+        if text is None:
+            exp = dict(n_words=0, top_word_share=None, n_grams=0,
+                       dup_gram_ratio=None, top_gram_share=None)
+        else:
+            toks = text.split(" ")  # single-space literal, like split()
+            grams = [" ".join(toks[i:i + 2])
+                     for i in range(len(toks) - 1)]
+            wc, gc = Counter(toks), Counter(grams)
+            exp = dict(
+                n_words=len(toks),
+                top_word_share=max(wc.values()) / len(toks),
+                n_grams=len(grams),
+                dup_gram_ratio=(
+                    (len(grams) - len(gc)) / len(grams) if grams else None
+                ),
+                top_gram_share=(
+                    max(gc.values()) / len(grams) if grams else None
+                ),
+            )
+        g = got[doc_id]
+        assert g["n_words"] == exp["n_words"], (doc_id, g)
+        assert g["n_grams"] == exp["n_grams"], (doc_id, g)
+        for k in ("top_word_share", "dup_gram_ratio", "top_gram_share"):
+            if exp[k] is None:
+                assert g[k] is None, (doc_id, k, g)
+            else:
+                assert g[k] == pytest.approx(exp[k]), (doc_id, k, g)
+
+    # spot values: total repetition / the mixed case
+    assert got[3]["top_word_share"] == 1.0
+    assert got[3]["dup_gram_ratio"] == pytest.approx(2 / 3)
+    assert got[4]["dup_gram_ratio"] == pytest.approx(0.5)
+    assert got[6]["dup_gram_ratio"] == 0.0
+
+
+def test_max_multiplicity_zero_shuffle(spark):
+    """The repetition plan is map-only: no Exchange anywhere (the
+    whole point of the in-row fold vs explode+groupBy)."""
+    from tabular_data_semantics_py_spark.operators.curation import (
+        repetition_stats,
+    )
+    from tabular_data_semantics_py_spark.sources.bucketed import count_nodes
+
+    df = spark.createDataFrame(
+        [(0, "a b c")], "doc_id long, text string"
+    )
+    plan = repetition_stats(df, n=2)._jdf.queryExecution().executedPlan().toString()
+    assert count_nodes(plan, "Exchange") == 0, plan
