@@ -433,11 +433,13 @@ BENCH_QUERIES = [
     "doc_contamination",
     "doc_sample_stratified",
     "doc_repetition",
+    "doc_pii_scrub",
     "media_meta",
     "emb_knn",
     "emb_ivf_knn",
     "emb_cosine_pairs_fast",
     "emb_srp_neardup",
+    "emb_quantize",
 ]
 
 

@@ -2433,6 +2433,105 @@ def doc_repetition(spark, sf_dir):
     return repetition_stats(_load(spark, sf_dir, "documents"), n=2)
 
 
+def _o_pii_scrub():
+    # same pattern strings as the operator (imported, not retyped);
+    # || for concat so NULL text would propagate like Spark's concat
+    from .operators.curation import PII_PATTERNS
+
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    scrubbed = "text"
+    for _, pat, rep in PII_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{rep}', 'g')"
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' mail user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' call 555-123-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                 || CAST((doc_id * 7) % 256 AS VARCHAR) || ' ok'
+            ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id, {counts}, {scrubbed} AS scrubbed FROM aug
+"""
+
+
+@q("doc_pii_scrub", _o_pii_scrub)
+def doc_pii_scrub(spark, sf_dir):
+    """PII redaction + counts (operators/curation.pii_scrub) over
+    deterministically-augmented text (the fixture corpus is pure
+    lowercase words, so a per-doc email / phone / IPv4 suffix is
+    appended on id-modulus subsets — same augmentation in the oracle)
+    — map-only codegen regexp counts + chained global replace."""
+    from .operators.curation import pii_scrub
+
+    d = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" mail user"), did.cast("string"),
+                         F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" call 555-123-"),
+                         (F.lit(1000) + did % 9000).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                         F.lit("."), ((did * 7) % 256).cast("string"),
+                         F.lit(" ok")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(aug)
+
+
+@q(
+    "emb_quantize",
+    lambda: """
+WITH m AS (
+  SELECT vec_id, embedding AS v,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS ma
+  FROM embeddings
+)
+SELECT vec_id,
+  CASE WHEN ma IS NULL OR ma = 0 OR isnan(ma) THEN NULL
+       ELSE 127.0 / ma END AS scale,
+  CASE WHEN ma IS NULL OR ma = 0 OR isnan(ma) THEN NULL
+       ELSE list_transform(
+              v, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5)
+                           AS INTEGER))
+       END AS qvec
+FROM m
+""",
+)
+def emb_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column
+    (operators/similarity.quantize_int8) — the float32→int8 storage
+    cut before ANN indexing; floor(x·scale + 0.5) half-up rounding so
+    Spark and the RE-evaluated DuckDB oracle agree bit-for-bit."""
+    from .operators.similarity import quantize_int8
+
+    return quantize_int8(_load(spark, sf_dir, "embeddings"))
+
+
 @q("emb_ivf_knn")
 def emb_ivf_knn(spark, sf_dir):
     """IVF-bucketed approximate kNN (numpy GEMM in mapInPandas) —

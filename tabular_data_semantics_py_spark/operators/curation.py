@@ -251,3 +251,45 @@ def repetition_stats(docs: DataFrame, n: int = 2, text_col: str = "text",
         F.when(ng > 0, F.col("max_g").cast("double") / ng)
         .alias("top_gram_share"),
     )
+
+
+# PII patterns in the Java-regex ∩ RE2 common subset (\b, \d, bounded
+# repeats — no lookaround/backrefs, so Spark's java.util.regex and the
+# DuckDB oracle's RE2 match identically on ASCII text). Replacement
+# tokens contain no digits/@, so chained replacement can't create new
+# matches for a later pattern.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, n_email, n_phone, n_ipv4, scrubbed): redact
+    emails / NANP-style phone numbers / IPv4 literals and count the
+    redactions — the PII-masking pass every web-corpus pipeline runs
+    before training (and the redaction *counts* feed the quality
+    gate: PII-dense pages are usually scraped forms).
+
+    Map-only whole-stage codegen: counts via
+    ``size(regexp_extract_all(...))`` over the ORIGINAL text (so the
+    three counts are order-independent), the scrubbed text via
+    chained ``regexp_replace`` (Spark replaces all occurrences;
+    mirrored with the 'g' flag in the oracle). NULL text → counts 0,
+    scrubbed NULL.
+    """
+    counts = [
+        F.coalesce(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))),
+            F.lit(0),
+        ).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = F.col(text_col)
+    for _, pat, rep in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, rep)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *counts, scrubbed.alias("scrubbed")
+    )

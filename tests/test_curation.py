@@ -185,3 +185,58 @@ def test_max_multiplicity_zero_shuffle(spark):
     )
     plan = repetition_stats(df, n=2)._jdf.queryExecution().executedPlan().toString()
     assert count_nodes(plan, "Exchange") == 0, plan
+
+
+def test_pii_scrub_degenerate_and_duckdb_parity(spark):
+    """pii_scrub on adversarial strings — multiple matches, matches
+    at string edges, near-misses (no TLD, 2-digit phone groups,
+    5-octet runs), NULL text — and Java-regex ≡ RE2 parity: the same
+    patterns run through DuckDB must produce identical counts and
+    scrubbed text (the oracle's premise)."""
+    from tabular_data_semantics_py_spark.operators.curation import (
+        PII_PATTERNS, pii_scrub,
+    )
+
+    rows = [
+        (0, None),
+        (1, "a@b.co x@y.org same a@b.co"),          # 3 emails, repeat
+        (2, "555-123-4567"),                        # whole string
+        (3, "ip 10.0.0.1 and 255.255.255.255 end"),
+        (4, "no-tld a@b, short 55-123-4567, five 1.2.3.4.5"),
+        (5, "mixed u.v+w@ex.io at 10.1.2.3 call 999-888-7777"),
+        (6, "digits 1234567890 dots 1.2.3 dash 123-456-789"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(df).collect()}
+
+    assert got[0] == dict(doc_id=0, n_email=0, n_phone=0, n_ipv4=0,
+                          scrubbed=None)
+    assert got[1]["n_email"] == 3
+    assert got[1]["scrubbed"] == "<EMAIL> <EMAIL> same <EMAIL>"
+    assert got[2]["scrubbed"] == "<PHONE>"
+    assert got[3]["n_ipv4"] == 2
+    assert (got[4]["n_email"], got[4]["n_phone"]) == (0, 0)
+    # five-octet run: the IPv4 regex still finds a 4-octet prefix
+    # (\b\d{1,3}(\.\d{1,3}){3}\b backtracks to '1.2.3.4'); what
+    # matters is Java ≡ RE2 on it, asserted below
+    assert got[5] == dict(doc_id=5, n_email=1, n_phone=1, n_ipv4=1,
+                          scrubbed="mixed <EMAIL> at <IP> call <PHONE>")
+    assert (got[6]["n_email"], got[6]["n_phone"], got[6]["n_ipv4"]) \
+        == (0, 0, 0)
+
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        if text is None:
+            continue
+        for name, pat, rep in PII_PATTERNS:
+            n, = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [text, pat]
+            ).fetchone()
+            spark_n = got[doc_id][f"n_{name}"]
+            assert n == spark_n, (doc_id, name, text, n, spark_n)
+        scrub = text
+        for _, pat, rep in PII_PATTERNS:
+            scrub, = con.execute(
+                "SELECT regexp_replace(?, ?, ?, 'g')", [scrub, pat, rep]
+            ).fetchone()
+        assert scrub == got[doc_id]["scrubbed"], (doc_id, text)

@@ -260,3 +260,41 @@ def test_degenerate_vectors_never_pair_rank_or_crash(spark):
     assert [(r.neighbor_id, r.rank) for r in knn] == [(1, 1)]
     ivf = ivf_knn(emb, spark, query_ids=[0], k=4, n_centroids=2).collect()
     assert all(r.neighbor_id == 1 for r in ivf)
+
+
+def test_quantize_int8_degenerates_and_roundtrip(spark):
+    """quantize_int8: NULL / all-zero / NaN-component vectors → NULL
+    scale+codes; NULL element → NULL code only; codes within int8
+    range with the max-|x| component at exactly ±127; dequantization
+    error bounded by 0.5/scale per component."""
+    from tabular_data_semantics_py_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    rows = [
+        (0, [1.0, -2.0, 0.5]),
+        (1, None),
+        (2, [0.0, 0.0]),
+        (3, [1.0, float("nan")]),
+        (4, [3.0, None, -3.0]),
+        (5, [-4.0, 2.0]),           # max |x| on the negative side
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r.asDict() for r in quantize_int8(df).collect()}
+
+    for vid in (1, 2, 3):
+        assert got[vid]["scale"] is None and got[vid]["qvec"] is None, got[vid]
+
+    assert got[4]["qvec"] == [127, None, -127]
+    assert got[5]["qvec"] == [-127, 64]  # floor(2*31.75+0.5)=floor(64.0)
+
+    for vid, vec in rows:
+        g = got[vid]
+        if g["scale"] is None:
+            continue
+        for x, q in zip(vec, g["qvec"]):
+            if x is None:
+                assert q is None
+                continue
+            assert -127 <= q <= 127
+            assert abs(x - q / g["scale"]) <= 0.5 / g["scale"] + 1e-12
