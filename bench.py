@@ -419,6 +419,8 @@ BENCH_QUERIES = [
     "region_acctbal_rollup",
     "events_hourly",
     "events_sessions",
+    "events_asof",
+    "events_range_count",
     "doc_dedup_exact",
     "doc_token_stats",
     "doc_quality",

@@ -1347,6 +1347,93 @@ def events_hourly(spark, sf_dir):
 
 
 @q(
+    "events_asof",
+    lambda: """
+WITH v AS (
+  SELECT user_id, ts, event_id, value
+  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                             ORDER BY event_id DESC) = 1
+),
+p AS (SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+       v.event_id AS view_event_id, epoch_us(v.ts) AS view_ts_us,
+       v.value AS view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+)
+def events_asof(spark, sf_dir):
+    """As-of join (operators/temporal.asof_join): each purchase with
+    the most recent prior view per user — tagged union + one window
+    pass (single shuffle on user_id, no per-key cross product),
+    checked against DuckDB's NATIVE ASOF LEFT JOIN as the oracle."""
+    from .operators.temporal import asof_join
+
+    e = _load(spark, sf_dir, "events")
+    l = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    r = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(l, r, on="user_id", ts_col="ts",
+                  payload_cols=["event_id", "value"],
+                  tiebreak_col="event_id")
+    return j.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+        F.col("asof_event_id").alias("view_event_id"),
+        F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        .alias("view_ts_us"),
+        F.col("asof_value").alias("view_value"),
+    )
+
+
+@q(
+    "events_range_count",
+    lambda: """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+           WHERE event_type = 'purchase' AND ts IS NOT NULL),
+v AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL)
+SELECT p.event_id, p.user_id, p.ts_us,
+       CAST(COUNT(v.ts_us) AS BIGINT) AS n_views,
+       CAST(SUM(CAST(v.value AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_view_value
+FROM p LEFT JOIN v
+  ON p.user_id = v.user_id
+ AND v.ts_us BETWEEN p.ts_us - 1800000000 AND p.ts_us - 1
+GROUP BY 1, 2, 3
+""",
+)
+def events_range_count(spark, sf_dir):
+    """Range join (operators/temporal.range_agg): per purchase, the
+    count and value-sum of the same user's views in the strictly-
+    preceding 30 minutes — one range-frame window over a tagged
+    union (single shuffle, no replication), vs the oracle's naive
+    BETWEEN join + group-by."""
+    from .operators.temporal import range_agg
+
+    e = _load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    l = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_us
+    )
+    r = e.where(F.col("event_type") == "view").select(
+        "user_id", ts_us, "value"
+    )
+    j = range_agg(l, r, on="user_id", ord_col="ts_us",
+                  lower=-1_800_000_000, upper=-1)
+    return j.select(
+        "event_id", "user_id", "ts_us",
+        F.col("n_in_range").alias("n_views"),
+        F.col("sum_in_range").alias("sum_view_value"),
+    )
+
+
+@q(
     "events_sessions",
     lambda: """
 WITH gaps AS (

@@ -1,0 +1,160 @@
+"""asof_join (operators/temporal.py): tie-at-equal-ts matching,
+(key, ts) right-side dedup, no-prior-row NULLs, NULL-timestamp
+policy on both sides — pinned against a brute-force scalar reference
+and spot values."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabular_data_semantics_py_spark.operators.temporal import asof_join
+
+# (event_id, user_id, ts-as-long, value) — long "timestamps" keep the
+# scalar reference trivial; the operator is type-generic over
+# orderable ts columns
+LEFT = [
+    (100, 1, 50, 5.0),
+    (101, 1, 10, 1.0),    # before any right row → NULL match
+    (102, 1, 20, 2.0),    # ties exactly with right ts=20
+    (103, 2, 99, 9.0),
+    (104, 3, 40, 4.0),    # user with no right rows at all
+    (105, 1, None, 0.0),  # NULL ts → NULL match, row kept
+]
+RIGHT = [
+    (200, 1, 20, 0.2),
+    (201, 1, 20, 0.3),    # same (user, ts): max event_id wins
+    (202, 1, 45, 0.45),
+    (203, 2, 98, 0.98),
+    (204, 2, None, 0.99),  # NULL ts: never matches
+]
+
+
+def brute_asof(left, right):
+    out = {}
+    # dedup right to max event_id per (user, ts)
+    best = {}
+    for eid, uid, ts, val in right:
+        if ts is None:
+            continue
+        k = (uid, ts)
+        if k not in best or eid > best[k][0]:
+            best[k] = (eid, val)
+    for eid, uid, ts, val in left:
+        match = None
+        if ts is not None:
+            cands = [(rts, b) for (ruid, rts), b in best.items()
+                     if ruid == uid and rts <= ts]
+            if cands:
+                rts, (reid, rval) = max(cands)
+                match = (rts, reid, rval)
+        out[eid] = match
+    return out
+
+
+def test_asof_join_brute_force(spark):
+    l = spark.createDataFrame(
+        LEFT, "event_id long, user_id long, ts long, value double"
+    )
+    r = spark.createDataFrame(
+        RIGHT, "event_id long, user_id long, ts long, value double"
+    ).select("user_id", "ts", "event_id", "value")
+    got = {
+        row["event_id"]: row.asDict()
+        for row in asof_join(
+            l, r, on="user_id", ts_col="ts",
+            payload_cols=["event_id", "value"], tiebreak_col="event_id",
+        ).collect()
+    }
+    assert set(got) == {e for e, *_ in LEFT}  # every left row kept
+
+    exp = brute_asof(LEFT, RIGHT)
+    for eid, match in exp.items():
+        g = got[eid]
+        if match is None:
+            assert (g["asof_ts"], g["asof_event_id"], g["asof_value"]) \
+                == (None, None, None), g
+        else:
+            assert (g["asof_ts"], g["asof_event_id"], g["asof_value"]) \
+                == match, (eid, g, match)
+
+    # the pinned cases
+    assert got[102]["asof_event_id"] == 201   # equal-ts match, dedup winner
+    assert got[101]["asof_event_id"] is None  # nothing prior
+    assert got[104]["asof_event_id"] is None  # user without right rows
+    assert got[105]["asof_event_id"] is None  # NULL left ts
+    assert got[103]["asof_event_id"] == 203   # NULL right ts skipped
+
+
+def test_asof_join_single_shuffle(spark):
+    """The plan carries no join node at all and at most one Exchange
+    per input branch — the whole point vs the theta-join shape."""
+    from tabular_data_semantics_py_spark.sources.bucketed import count_nodes
+
+    l = spark.createDataFrame(
+        LEFT, "event_id long, user_id long, ts long, value double"
+    )
+    r = spark.createDataFrame(
+        RIGHT, "event_id long, user_id long, ts long, value double"
+    ).select("user_id", "ts", "event_id", "value")
+    plan = asof_join(
+        l, r, on="user_id", ts_col="ts",
+        payload_cols=["event_id", "value"], tiebreak_col="event_id",
+    )._jdf.queryExecution().executedPlan().toString()
+    for join_node in ("SortMergeJoin", "BroadcastHashJoin",
+                      "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert count_nodes(plan, join_node) == 0, plan
+
+
+def test_range_agg_brute_force_and_boundaries(spark):
+    """range_agg vs a scalar recomputation; pins both boundary
+    inclusions ([l+lower, l+upper] closed), the empty-window policy
+    (count 0, sum NULL), and the decimal-exact value sum."""
+    from tabular_data_semantics_py_spark.operators.temporal import range_agg
+
+    left = [(1, 7, 100), (2, 7, 105), (3, 7, 90), (4, 8, 50)]
+    right = [
+        (7, 90, 1.11),    # == l.ts+lower for l@100 (lower=-10): in
+        (7, 99, 2.22),    # == l.ts+upper for l@100 (upper=-1): in
+        (7, 100, 4.44),   # == l.ts: out (upper=-1 is strict)
+        (7, 104, 8.88),
+        (8, 49, 0.5),
+    ]
+    l = spark.createDataFrame(left, "event_id long, user_id long, ts_us long")
+    r = spark.createDataFrame(right, "user_id long, ts_us long, value double")
+    got = {
+        row["event_id"]: row.asDict()
+        for row in range_agg(l, r, on="user_id", ord_col="ts_us",
+                             lower=-10, upper=-1).collect()
+    }
+    for eid, uid, ts in left:
+        n = sv = 0
+        for ruid, rts, rv in right:
+            if ruid == uid and ts - 10 <= rts <= ts - 1:
+                n += 1
+                sv = round(sv + rv, 2)
+        g = got[eid]
+        assert g["n_in_range"] == n, (eid, g)
+        if n == 0:
+            assert g["sum_in_range"] is None, g
+        else:
+            assert g["sum_in_range"] == pytest.approx(sv), (eid, g)
+    assert got[1]["n_in_range"] == 2          # 90 and 99, not 100
+    assert got[3]["n_in_range"] == 0          # window [80, 89]: empty
+    assert got[3]["sum_in_range"] is None
+
+
+def test_range_agg_join_free_plan(spark):
+    from tabular_data_semantics_py_spark.operators.temporal import range_agg
+    from tabular_data_semantics_py_spark.sources.bucketed import count_nodes
+
+    l = spark.createDataFrame(
+        [(1, 7, 100)], "event_id long, user_id long, ts_us long"
+    )
+    r = spark.createDataFrame(
+        [(7, 90, 1.0)], "user_id long, ts_us long, value double"
+    )
+    plan = range_agg(
+        l, r, on="user_id", ord_col="ts_us", lower=-10, upper=-1
+    )._jdf.queryExecution().executedPlan().toString()
+    for join_node in ("SortMergeJoin", "BroadcastHashJoin",
+                      "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert count_nodes(plan, join_node) == 0, plan
