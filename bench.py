@@ -421,6 +421,7 @@ BENCH_QUERIES = [
     "events_sessions",
     "events_asof",
     "events_range_count",
+    "events_rollup_daily",
     "doc_dedup_exact",
     "doc_token_stats",
     "doc_quality",

@@ -1347,6 +1347,31 @@ def events_hourly(spark, sf_dir):
 
 
 @q(
+    "events_rollup_daily",
+    lambda: """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_rollup_daily(spark, sf_dir):
+    """Hypertable-style cascaded rollup (operators/temporal.
+    cascade_rollup): the daily level is aggregated FROM the hourly
+    level (sum-of-counts, decimal sum-of-sums) — the oracle computes
+    daily straight from raw events, so an exact match proves the
+    continuous-aggregate re-aggregation cascade is lossless."""
+    from .operators.temporal import cascade_rollup
+
+    _, daily = cascade_rollup(_load(spark, sf_dir, "events"))
+    return daily.select(
+        "day", "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "total_value",
+    )
+
+
+@q(
     "events_asof",
     lambda: """
 WITH v AS (

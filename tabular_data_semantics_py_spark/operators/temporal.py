@@ -150,3 +150,51 @@ def range_agg(left: DataFrame, right: DataFrame, on: str, ord_col: str,
     return m.where(F.col("_side") == 1).select(
         *left.columns, "n_in_range", "sum_in_range"
     )
+
+
+def cascade_rollup(events: DataFrame, ts_col: str = "ts",
+                   key_cols: list[str] | None = None,
+                   value_col: str = "value") -> tuple[DataFrame, DataFrame]:
+    """→ (hourly, daily): the hypertable / continuous-aggregate
+    rollup cascade — hourly buckets aggregated from raw events, daily
+    buckets aggregated FROM THE HOURLY LEVEL (sum-of-counts,
+    sum-of-sums), never from raw.
+
+    That cascade is the whole point at 100 TB: coarse windows re-use
+    the fine level's partial aggregates (a monotone row reduction per
+    level, map-side partials throughout) instead of re-scanning the
+    raw table, and the finest level is exactly what the streaming
+    hourly rollup (streaming/events.py) maintains incrementally — so
+    batch backfill and live continuous aggregates share one shape.
+    Correctness of the re-aggregation is non-negotiable and
+    checkable: counts are associative and the value sums run in
+    decimal(18,2) (exact, order-independent), so daily-from-hourly is
+    bit-identical to daily-from-raw — which is precisely what the
+    ``events_rollup_daily`` oracle asserts by computing daily straight
+    from the raw table.
+
+    hourly: (bucket_ts, *keys, n_events, sum_dec); daily:
+    (day string, *keys, n_events, total_value double).
+    """
+    keys = key_cols if key_cols is not None else ["event_type"]
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"), *keys
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_dec"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", F.col("bucket_ts")),
+                          "yyyy-MM-dd").alias("day"),
+            *keys,
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("total_value"),
+        )
+    )
+    return hourly, daily

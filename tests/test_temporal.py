@@ -158,3 +158,49 @@ def test_range_agg_join_free_plan(spark):
     for join_node in ("SortMergeJoin", "BroadcastHashJoin",
                       "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert count_nodes(plan, join_node) == 0, plan
+
+
+def test_cascade_rollup_lossless(spark):
+    """daily-from-hourly ≡ daily-from-raw, bit-exact: counts are
+    associative and the value sums run in decimal — on a frame
+    crossing hour and day boundaries with adversarial 2-decimal
+    values."""
+    from tabular_data_semantics_py_spark.operators.temporal import (
+        cascade_rollup,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "a", 0.1),
+        (2, "2024-01-01 00:59:59", "a", 0.2),   # same hour
+        (3, "2024-01-01 01:00:00", "a", 0.3),   # next hour, same day
+        (4, "2024-01-01 23:59:59", "a", 10.07),
+        (5, "2024-01-02 00:00:00", "a", 0.01),  # next day
+        (6, "2024-01-01 12:00:00", "b", 1e9),
+        (7, "2024-01-01 12:30:00", "b", 0.01),  # magnitude mismatch:
+                                                 # float sum would drift
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    _, daily = cascade_rollup(e)
+    got = {(r["day"], r["event_type"]): (r["n_events"], r["total_value"])
+           for r in daily.collect()}
+
+    direct = (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")),
+                          "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("tv"),
+        )
+    )
+    exp = {(r["day"], r["event_type"]): (r["n"], r["tv"])
+           for r in direct.collect()}
+    assert got == exp  # exact equality, doubles included
+    assert got[("2024-01-01", "a")] == (4, 10.67)
+    assert got[("2024-01-01", "b")] == (2, 1000000000.01)
