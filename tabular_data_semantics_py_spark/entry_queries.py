@@ -2550,9 +2550,12 @@ def _o_pii_scrub():
     # || for concat so NULL text would propagate like Spark's concat
     from .operators.curation import PII_PATTERNS
 
+    # COALESCE mirrors the operator's NULL-text policy (counts 0,
+    # scrubbed NULL): DuckDB's len(regexp_extract_all(NULL,...)) is
+    # NULL, Spark's coalesced size() is 0
     counts = ",\n  ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
-        f" AS n_{name}"
+        f"CAST(COALESCE(len(regexp_extract_all(text, '{pat}')), 0)"
+        f" AS BIGINT) AS n_{name}"
         for name, pat, _ in PII_PATTERNS
     )
     scrubbed = "text"
@@ -2624,9 +2627,10 @@ WITH m AS (
   FROM embeddings
 )
 SELECT vec_id,
-  CASE WHEN ma IS NULL OR ma = 0 OR isnan(ma) THEN NULL
-       ELSE 127.0 / ma END AS scale,
-  CASE WHEN ma IS NULL OR ma = 0 OR isnan(ma) THEN NULL
+  CASE WHEN ma IS NULL OR NOT (ma > 0 AND ma < CAST('inf' AS DOUBLE))
+       THEN NULL ELSE 127.0 / ma END AS scale,
+  CASE WHEN ma IS NULL OR NOT (ma > 0 AND ma < CAST('inf' AS DOUBLE))
+       THEN NULL
        ELSE list_transform(
               v, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / ma) + 0.5)
                            AS INTEGER))

@@ -606,13 +606,21 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding",
     identical IEEE-double ops (float elements are promoted exactly),
     so quantized codes match bit-for-bit — ROUND() would instead pit
     Java HALF_UP against C round() ties. Degenerates: NULL vector,
-    all-zero vector (scale undefined), or a NaN component → NULL
-    scale and NULL qvec; a NULL *element* propagates as a NULL code
-    in an otherwise-quantized vector.
+    all-zero vector (scale undefined), or a non-finite (NaN/±Inf)
+    component → NULL scale and NULL qvec; a NULL *element*
+    propagates as a NULL code in an otherwise-quantized vector.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     max_abs = F.array_max(F.transform(v, F.abs))
-    ok = max_abs.isNotNull() & (max_abs != 0) & ~F.isnan(max_abs)
+    # 0 < max|x| < inf: excludes the zero vector AND non-finite
+    # components in one range check — both Spark and DuckDB order NaN
+    # GREATER than +inf, so `max_abs < inf` rejects NaN identically
+    # on both sides (an Inf component would otherwise give scale = 0
+    # and a meaningless all-zero code vector)
+    ok = (
+        max_abs.isNotNull() & (max_abs > 0)
+        & (max_abs < F.lit(float("inf")))
+    )
     scale = F.when(ok, F.lit(127.0) / max_abs)
     return emb.select(
         F.col(id_col).alias("vec_id"),

@@ -36,25 +36,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
     with ``right.ts <= left.ts`` on the same ``on`` key (NULL when no
     such row exists).
 
-    ``right`` rows sharing (key, ts) are collapsed to the
-    max-``tiebreak_col`` row first (``max_by`` keeps the payload
-    row-consistent), making the result deterministic — the oracle
-    mirrors this with a QUALIFY row_number dedup. ``tiebreak_col``
-    must be in ``payload_cols``' source frame and unique per
-    (key, ts) group for full determinism.
+    ``right`` rows sharing (key, ts) resolve deterministically to the
+    max-``tiebreak_col`` row — the oracle mirrors this with a QUALIFY
+    row_number dedup. Rather than pre-aggregating the right side
+    (which would cost a second Exchange on (key, ts)), the tiebreak
+    is folded into the window SORT: the union orders by
+    (ts, side, tiebreak), so ``last(...)`` naturally keeps the
+    greatest-tiebreak right row at each timestamp — the plan carries
+    exactly ONE Exchange (asserted in tests). ``tiebreak_col`` must
+    be unique per (key, ts) group on the right for full determinism.
     """
     lcols = left.columns
     rdtypes = dict(right.dtypes)
 
-    # deterministic one-row-per-(key, ts) right side
-    r = (
-        right.where(F.col(ts_col).isNotNull())
-        .groupBy(on, ts_col)
-        .agg(*[
-            F.max_by(F.col(c), F.col(tiebreak_col)).alias(c)
-            for c in payload_cols
-        ])
-    )
+    r = right.where(F.col(ts_col).isNotNull())
 
     def _payload(null: bool):
         fields = [
@@ -67,21 +62,27 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
         ]
         return F.struct(*fields).alias("_p")
 
+    tb_type = rdtypes[tiebreak_col]
     tagged_r = r.select(
-        F.col(on), F.col(ts_col), F.lit(0).alias("_side"), _payload(False),
+        F.col(on), F.col(ts_col), F.lit(0).alias("_side"),
+        F.col(tiebreak_col).cast(tb_type).alias("_tb"), _payload(False),
         *[F.lit(None).cast(t).alias(c)
           for c, t in left.dtypes if c not in (on, ts_col)],
     )
     tagged_l = left.select(
-        F.col(on), F.col(ts_col), F.lit(1).alias("_side"), _payload(True),
+        F.col(on), F.col(ts_col), F.lit(1).alias("_side"),
+        F.lit(None).cast(tb_type).alias("_tb"), _payload(True),
         *[F.col(c) for c in lcols if c not in (on, ts_col)],
     )
 
     # asc = nulls first: a NULL-ts left row precedes every right row
-    # and gets a NULL match for free (the oracle's NULL-never-matches)
+    # and gets a NULL match for free (the oracle's NULL-never-matches);
+    # _tb last in the sort makes the max-tiebreak right row the one
+    # last() sees at each (ts, side=0) run
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(),
+                 F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     m = tagged_l.unionByName(tagged_r).withColumn(

@@ -178,12 +178,15 @@ def test_max_multiplicity_zero_shuffle(spark):
     from tabular_data_semantics_py_spark.operators.curation import (
         repetition_stats,
     )
-    from tabular_data_semantics_py_spark.sources.bucketed import count_nodes
+    from tabular_data_semantics_py_spark.sources.bucketed import (
+        count_nodes, formatted_explain,
+    )
 
     df = spark.createDataFrame(
         [(0, "a b c")], "doc_id long, text string"
     )
-    plan = repetition_stats(df, n=2)._jdf.queryExecution().executedPlan().toString()
+    plan = formatted_explain(repetition_stats(df, n=2))
+    assert count_nodes(plan, "Project") >= 1, plan  # format sanity
     assert count_nodes(plan, "Exchange") == 0, plan
 
 

@@ -278,11 +278,12 @@ def test_quantize_int8_degenerates_and_roundtrip(spark):
         (3, [1.0, float("nan")]),
         (4, [3.0, None, -3.0]),
         (5, [-4.0, 2.0]),           # max |x| on the negative side
+        (6, [1.0, float("inf")]),   # Inf: scale would be 0 -> NULL
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {r["vec_id"]: r.asDict() for r in quantize_int8(df).collect()}
 
-    for vid in (1, 2, 3):
+    for vid in (1, 2, 3, 6):
         assert got[vid]["scale"] is None and got[vid]["qvec"] is None, got[vid]
 
     assert got[4]["qvec"] == [127, None, -127]

@@ -85,9 +85,14 @@ def test_asof_join_brute_force(spark):
 
 
 def test_asof_join_single_shuffle(spark):
-    """The plan carries no join node at all and at most one Exchange
-    per input branch — the whole point vs the theta-join shape."""
-    from tabular_data_semantics_py_spark.sources.bucketed import count_nodes
+    """The plan carries no join node at all and exactly ONE Exchange
+    (the window shuffle) — the whole point vs the theta-join shape.
+    formatted_explain, not executedPlan().toString(): count_nodes
+    parses the formatted '(N) Node' ids and returns 0 on any other
+    format, which would make these assertions vacuous."""
+    from tabular_data_semantics_py_spark.sources.bucketed import (
+        count_nodes, formatted_explain,
+    )
 
     l = spark.createDataFrame(
         LEFT, "event_id long, user_id long, ts long, value double"
@@ -95,13 +100,15 @@ def test_asof_join_single_shuffle(spark):
     r = spark.createDataFrame(
         RIGHT, "event_id long, user_id long, ts long, value double"
     ).select("user_id", "ts", "event_id", "value")
-    plan = asof_join(
+    plan = formatted_explain(asof_join(
         l, r, on="user_id", ts_col="ts",
         payload_cols=["event_id", "value"], tiebreak_col="event_id",
-    )._jdf.queryExecution().executedPlan().toString()
+    ))
+    assert count_nodes(plan, "Window") == 1, plan  # format sanity
     for join_node in ("SortMergeJoin", "BroadcastHashJoin",
                       "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert count_nodes(plan, join_node) == 0, plan
+    assert count_nodes(plan, "Exchange") == 1, plan
 
 
 def test_range_agg_brute_force_and_boundaries(spark):
@@ -144,7 +151,9 @@ def test_range_agg_brute_force_and_boundaries(spark):
 
 def test_range_agg_join_free_plan(spark):
     from tabular_data_semantics_py_spark.operators.temporal import range_agg
-    from tabular_data_semantics_py_spark.sources.bucketed import count_nodes
+    from tabular_data_semantics_py_spark.sources.bucketed import (
+        count_nodes, formatted_explain,
+    )
 
     l = spark.createDataFrame(
         [(1, 7, 100)], "event_id long, user_id long, ts_us long"
@@ -152,12 +161,14 @@ def test_range_agg_join_free_plan(spark):
     r = spark.createDataFrame(
         [(7, 90, 1.0)], "user_id long, ts_us long, value double"
     )
-    plan = range_agg(
+    plan = formatted_explain(range_agg(
         l, r, on="user_id", ord_col="ts_us", lower=-10, upper=-1
-    )._jdf.queryExecution().executedPlan().toString()
+    ))
+    assert count_nodes(plan, "Window") >= 1, plan  # format sanity
     for join_node in ("SortMergeJoin", "BroadcastHashJoin",
                       "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert count_nodes(plan, join_node) == 0, plan
+    assert count_nodes(plan, "Exchange") == 1, plan
 
 
 def test_cascade_rollup_lossless(spark):
