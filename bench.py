@@ -437,6 +437,7 @@ BENCH_QUERIES = [
     "doc_sample_stratified",
     "doc_repetition",
     "doc_pii_scrub",
+    "doc_kmv_distinct",
     "media_meta",
     "emb_knn",
     "emb_ivf_knn",

@@ -2500,6 +2500,54 @@ WHERE ((hv % {SAMPLE_MOD}) + {SAMPLE_MOD}) % {SAMPLE_MOD}
 """
 
 
+def _o_kmv_distinct():
+    # hashes recomputed with the pure-Python XXH64 mirror as a VALUES
+    # CTE; the (k-1)/u_k arithmetic mirrors the operator's IEEE ops
+    # (2^63 / 2^64 as exact double literals)
+    import duckdb
+
+    from .functions.xxh64 import spark_xxhash64
+
+    k = 64
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    ids = con.execute(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+        " WHERE doc_id IS NOT NULL"
+    ).fetchall()
+    rows = [(i, spark_xxhash64(i)) for (i,) in ids]
+    return f"""
+WITH h AS (SELECT * FROM {_values(rows, "doc_id, hv")}),
+d AS (SELECT DISTINCT dd.lang, h.hv
+      FROM documents dd JOIN h USING (doc_id)),
+r AS (SELECT lang, hv,
+             row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+      FROM d),
+g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_mins,
+             MAX(hv) AS kth_min
+      FROM r WHERE rn <= {k} GROUP BY lang)
+SELECT lang, n_mins, kth_min,
+  CASE WHEN n_mins < {k} THEN CAST(n_mins AS DOUBLE)
+       ELSE CAST({k - 1} AS DOUBLE)
+            / ((CAST(kth_min AS DOUBLE) + 9.223372036854775808e18)
+               / 1.8446744073709551616e19) END AS est_distinct
+FROM g
+"""
+
+
+@q("doc_kmv_distinct", _o_kmv_distinct)
+def doc_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch per language
+    (operators/sketches.kmv_distinct): deterministic, mergeable,
+    skew-safe (bounded_min_k two-level salted min-k) — and therefore
+    exactly oracle-checkable, unlike HLL-based approx_count_distinct."""
+    from .operators.sketches import kmv_distinct
+
+    return kmv_distinct(
+        _load(spark, sf_dir, "documents"), ["lang"], "doc_id", k=64
+    )
+
+
 @q("doc_sample_stratified", _o_sample_stratified)
 def doc_sample_stratified(spark, sf_dir):
     """Deterministic per-language hash-threshold sample for mixture
