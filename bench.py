@@ -349,6 +349,48 @@ def run_cpa_skew(spark, n_rows: int = 1_000_000, n_ent: int = 200_000):
     return out
 
 
+def run_asof_skew(spark, n_rows: int = 2_000_000, n_users: int = 10_000):
+    """Hot-key skew evidence for asof_join (operators/temporal.py).
+    A window cannot split one key across tasks, so a hot key's rows
+    sort inside a single task — the operator's documented per-key
+    bound (unlike the agg/join stages, where AQE skew-split + partial
+    aggregation absorb hot keys). This measures how that bound
+    behaves in practice: 2M events over 10k users, vs 50% of ALL
+    rows on ONE user. Timestamps are scattered (id*7919 mod 1e9,
+    coprime -> distinct), halves split left/right by parity. The run
+    action aggregates the matched payload, which forces the window
+    (a bare count() would let Catalyst prune the asof columns).
+    """
+    from pyspark.sql import functions as F
+
+    from tabular_data_semantics_py_spark.operators.temporal import asof_join
+
+    def build(skew: bool):
+        ids = spark.range(n_rows)
+        user = F.col("id") % n_users
+        if skew:
+            user = F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(user)
+        return ids.select(
+            F.col("id").alias("event_id"),
+            user.alias("user_id"),
+            (F.col("id") * 7919 % 1_000_000_000).alias("ts_us"),
+            (F.col("id") % 1000 / F.lit(10.0)).alias("value"),
+            (F.col("id") % 2 == 1).alias("is_left"),
+        ).localCheckpoint()
+
+    def run(df):
+        l = df.where("is_left").select("event_id", "user_id", "ts_us",
+                                       "value")
+        r = df.where("NOT is_left").select("user_id", "ts_us", "event_id",
+                                           "value")
+        j = asof_join(l, r, on="user_id", ts_col="ts_us",
+                      payload_cols=["event_id", "value"],
+                      tiebreak_col="event_id")
+        j.agg(F.count("asof_event_id"), F.sum("asof_value")).collect()
+
+    return _interleaved_best2(spark, build, run)
+
+
 def run_components_scale(spark, n: int = 1_000_000, path: bool = False):
     """Scale/skew evidence for connected_components (the
     canonicalization primitive behind kg_canonical_ids and
@@ -485,6 +527,10 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
     timings["cpa_uniform"] = round(p_u, 3)
     timings["cpa_skew"] = round(p_s, 3)
 
+    a_u, a_s = run_asof_skew(spark)
+    timings["asof_uniform"] = round(a_u, 3)
+    timings["asof_skew"] = round(a_s, 3)
+
     comp = run_components_scale(spark)
     timings["components_star_1m"] = comp["star_sec"]
 
@@ -501,6 +547,7 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
         "skew_ratio": round(sec_s / sec_u, 3),
         "vote_skew_ratio": round(v_s / v_u, 3),
         "cpa_skew_ratio": round(p_s / p_u, 3),
+        "asof_skew_ratio": round(a_s / a_u, 3),
         "components_star_rounds": comp["star_rounds"],
     }
     spark.stop()
