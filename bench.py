@@ -366,10 +366,16 @@ def run_asof_skew(spark, n_rows: int = 2_000_000, n_users: int = 10_000):
     from tabular_data_semantics_py_spark.operators.temporal import asof_join
 
     def build(skew: bool):
+        # user derives from the PAIR id (id div 2): each pair yields
+        # one left (odd id) and one right (even id) row on the SAME
+        # user, so the carry-forward/match path is actually exercised
+        # (a user keyed on the raw id would put odd ids -- all left --
+        # on odd users and the join would match nothing)
         ids = spark.range(n_rows)
-        user = F.col("id") % n_users
+        pair = F.expr("id div 2")
+        user = pair % n_users
         if skew:
-            user = F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(user)
+            user = F.when(pair % 2 == 0, F.lit(0)).otherwise(user)
         return ids.select(
             F.col("id").alias("event_id"),
             user.alias("user_id"),

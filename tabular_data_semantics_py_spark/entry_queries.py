@@ -1405,13 +1405,17 @@ def events_asof(spark, sf_dir):
     j = asof_join(l, r, on="user_id", ts_col="ts",
                   payload_cols=["event_id", "value"],
                   tiebreak_col="event_id")
+    # NTZ -> epoch-us via a fixed naive epoch, NOT unix_micros(cast):
+    # the cast routes through the session time zone and breaks oracle
+    # parity in any non-UTC driver (same device as events_sessions)
     return j.select(
         "event_id", "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.expr("timestampdiff(MICROSECOND, cast('1970-01-01 00:00:00' as timestamp_ntz), ts)")
+        .cast("long").alias("ts_us"),
         "value",
         F.col("asof_event_id").alias("view_event_id"),
-        F.unix_micros(F.col("asof_ts").cast("timestamp"))
-        .alias("view_ts_us"),
+        F.expr("timestampdiff(MICROSECOND, cast('1970-01-01 00:00:00' as timestamp_ntz), asof_ts)")
+        .cast("long").alias("view_ts_us"),
         F.col("asof_value").alias("view_value"),
     )
 
@@ -1442,7 +1446,11 @@ def events_range_count(spark, sf_dir):
     from .operators.temporal import range_agg
 
     e = _load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    # tz-free NTZ epoch-us (see events_asof note)
+    ts_us = (
+        F.expr("timestampdiff(MICROSECOND, cast('1970-01-01 00:00:00' as timestamp_ntz), ts)")
+        .cast("long").alias("ts_us")
+    )
     l = e.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", ts_us
     )

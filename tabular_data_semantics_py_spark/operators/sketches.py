@@ -41,14 +41,18 @@ def kmv_distinct(df: DataFrame, key_cols: list[str], id_col: str,
     of NULL degenerates to the seed constant, which would alias every
     NULL onto one phantom element).
     """
-    hashed = (
-        df.where(F.col(id_col).isNotNull())
-        .select(*key_cols, F.xxhash64(F.col(id_col)).alias("_h"))
-        .distinct()
+    hashed = df.where(F.col(id_col).isNotNull()).select(
+        *key_cols, F.xxhash64(F.col(id_col)).alias("_h")
     )
-    mins = bounded_min_k(hashed, key_cols, ["_h"], k, salt=salt)
-    agg = mins.groupBy(*key_cols).agg(
-        F.sort_array(F.collect_list("_h")).alias("_hs")
+    # distinct=True folds the dedup into bounded_min_k's salted
+    # buffers (duplicate hashes share a salt — no separate
+    # .distinct() Exchange) and as_array=True keeps the per-group
+    # min-k as one sorted array (no explode + third re-grouping
+    # Exchange): TWO shuffles total, asserted in tests
+    agg = bounded_min_k(hashed, key_cols, ["_h"], k, salt=salt,
+                        distinct=True, as_array=True).select(
+        *key_cols,
+        F.transform(F.col("_mins"), lambda s: s["_h"]).alias("_hs"),
     )
     n = F.size("_hs")
     kth = F.element_at(F.col("_hs"), n)  # largest of the k smallest

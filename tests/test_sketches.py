@@ -56,3 +56,18 @@ def test_kmv_mergeability():
     merged = sorted(set(sorted(set(a))[:k] + sorted(set(b))[:k]))[:k]
     direct = sorted(set(a) | set(b))[:k]
     assert merged == direct
+
+
+def test_kmv_two_shuffles(spark):
+    """The sketch plan carries exactly TWO Exchanges (bounded_min_k's
+    two salted aggregation levels) — no separate dedup shuffle, no
+    explode/re-group shuffle."""
+    from tabular_data_semantics_py_spark.sources.bucketed import (
+        count_nodes, formatted_explain,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 300).alias("doc_id"), F.lit("x").alias("lang")
+    )
+    plan = formatted_explain(kmv_distinct(df, ["lang"], "doc_id", k=64))
+    assert count_nodes(plan, "Exchange") == 2, plan

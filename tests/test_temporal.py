@@ -215,3 +215,30 @@ def test_cascade_rollup_lossless(spark):
     assert got == exp  # exact equality, doubles included
     assert got[("2024-01-01", "a")] == (4, 10.67)
     assert got[("2024-01-01", "b")] == (2, 1000000000.01)
+
+
+def test_events_temporal_queries_tz_free(spark):
+    """events_asof / events_range_count results must not depend on
+    the driver session time zone (the NTZ-diff epoch device; a
+    unix_micros(cast) would shift every ts_us by the zone offset and
+    break oracle parity — the regression this pins)."""
+    from tabular_data_semantics_py_spark.entry_queries import QUERIES as qs
+    sf = "/root/testdata/sf0.001"
+
+    def snap():
+        a = {r["event_id"]: (r["ts_us"], r["view_ts_us"])
+             for r in qs["events_asof"](spark, sf).collect()}
+        rc = {r["event_id"]: (r["ts_us"], r["n_views"],
+                              r["sum_view_value"])
+              for r in qs["events_range_count"](spark, sf).collect()}
+        return a, rc
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = snap()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        nyc = snap()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert utc == nyc
