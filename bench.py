@@ -467,6 +467,7 @@ BENCH_QUERIES = [
     "region_acctbal_rollup",
     "events_hourly",
     "events_sessions",
+    "events_sessions_native",
     "events_asof",
     "events_range_count",
     "events_rollup_daily",

@@ -1467,6 +1467,63 @@ def events_range_count(spark, sf_dir):
 
 
 @q(
+    "events_sessions_native",
+    lambda: """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS start_us,
+       epoch_us(MAX(ts)) + 1800000000 AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def events_sessions_native(spark, sf_dir):
+    """Spark's NATIVE session_window aggregation (the built-in
+    sessionization operator, batch form) against a gaps-and-islands
+    SQL oracle. Pins Spark's exact merge rule, established
+    empirically (test_session_window_boundary_semantics): the merge
+    is INCLUSIVE — an event at exactly prev + gap still merges, a
+    new session starts only when the gap is strictly exceeded
+    (oracle: `> gap`), same convention as the custom
+    events_sessions; window end = last event + gap. Epochs via the
+    tz-free NTZ-diff device."""
+    e = _load(spark, sf_dir, "events")
+    g = (
+        e.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("total_value"),
+        )
+    )
+    dev = ("timestampdiff(MICROSECOND, "
+           "cast('1970-01-01 00:00:00' as timestamp_ntz), {c})")
+    return g.select(
+        "user_id",
+        F.expr(dev.format(c="w.start")).cast("long").alias("start_us"),
+        F.expr(dev.format(c="w.end")).cast("long").alias("end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "total_value",
+    )
+
+
+@q(
     "events_sessions",
     lambda: """
 WITH gaps AS (

@@ -242,3 +242,34 @@ def test_events_temporal_queries_tz_free(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert utc == nyc
+
+
+def test_session_window_boundary_semantics(spark):
+    """Spark's session_window merge rule is INCLUSIVE: an event at
+    exactly prev + gap still merges into the running session; a new
+    session starts only when the gap is strictly exceeded — the same
+    `> gap` convention as the custom events_sessions operator and
+    the events_sessions_native oracle. (A first draft assumed the
+    strict rule; this pins the empirical one.)"""
+    rows = [
+        (1, 10, "2024-01-01 00:00:00"),
+        (2, 10, "2024-01-01 00:30:00"),          # exactly gap: merges
+        (3, 10, "2024-01-01 01:00:00.000001"),   # gap + 1us: NEW
+        (4, 10, "2024-01-01 01:29:59"),          # inside: merges
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    s = (
+        e.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"),
+                  "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").cast("string").alias("st"),
+                "n")
+        .orderBy("st")
+        .collect()
+    )
+    assert [(r["st"], r["n"]) for r in s] == [
+        ("2024-01-01 00:00:00", 2),
+        ("2024-01-01 01:00:00.000001", 2),
+    ]
