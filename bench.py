@@ -460,6 +460,7 @@ def run_components_scale(spark, n: int = 1_000_000, path: bool = False):
 
 
 BENCH_QUERIES = [
+    "kg_degree_dist",
     "pricing_summary",
     "order_revenue_topk",
     "top_orders_per_customer",

@@ -686,6 +686,34 @@ def kg_pred_freq(spark, sf_dir):
     )
 
 
+def _o_degree_dist():
+    corpus, _, _ = _fixture()
+    return f"""
+WITH tr(subj, pred, obj, lit) AS (
+  SELECT * FROM {_values(corpus.triples, "subj, pred, obj, lit")}),
+deg AS (SELECT subj, COUNT(*) AS d FROM tr GROUP BY subj)
+SELECT CAST(d AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_subjects
+FROM deg GROUP BY d
+"""
+
+
+@q("kg_degree_dist", _o_degree_dist)
+def kg_degree_dist(spark, sf_dir):
+    """Out-degree distribution of the triple store (degree →
+    subject count) — the standard KG shape/health analytic (and the
+    skew census: the heavy tail here is exactly what sizes the
+    hot-entity salting at emission). Two cascaded aggregations, both
+    with map-side partials; the second's input is one row per
+    subject, so the hottest entity is one row by then — the
+    distribution query itself cannot skew."""
+    tr = _dfs(spark)["kg_triples"]
+    deg = tr.groupBy("subj").agg(F.count(F.lit(1)).alias("d"))
+    return deg.groupBy(F.col("d").cast("long").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_subjects")
+    )
+
+
 def _o_neighborhood():
     corpus, _, _ = _fixture()
     avoid = ", ".join(_s(p) for p in sorted(C.AVOID_PREDICATES))
