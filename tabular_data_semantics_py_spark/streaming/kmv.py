@@ -1,0 +1,76 @@
+"""Streaming KMV distinct-count: the batch sketch
+(operators/sketches.kmv_distinct) maintained incrementally per key
+with ``applyInPandasWithState``.
+
+Mergeability makes the incremental update EXACT, not approximate-
+on-top-of-approximate: the state is the k smallest distinct hashes
+seen so far, and min-k(state ∪ batch) = min-k(all data seen) — so
+after every micro-batch the emitted sketch equals the batch operator
+run over everything ingested to that point (asserted in tests,
+including across a checkpoint restart). State is O(k) longs per key,
+the bounded-state contract.
+
+The estimate arithmetic mirrors the batch operator's IEEE ops
+exactly (same 2^63 / 2^64 constants, same op order; Python float ≡
+JVM double here), so stream and batch agree bit-for-bit on
+``est_distinct`` too.
+
+Emission: one snapshot row per key per micro-batch that touched it,
+with a monotone ``upd`` counter — an append-sink-compatible stream
+of sketch versions (take max-``upd`` per key for the current value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.sketches import _TWO63, _TWO64
+
+OUT_SCHEMA = (
+    "key string, upd long, n_mins long, kth_min long, est_distinct double"
+)
+STATE_SCHEMA = "mins array<long>, upd long"
+
+
+def kmv_stream(docs: DataFrame, key_col: str = "lang",
+               id_col: str = "doc_id", k: int = 64) -> DataFrame:
+    """→ streaming (key, upd, n_mins, kth_min, est_distinct): the
+    running KMV sketch per key. Hashing runs JVM-side before the
+    stateful operator (the Python worker only merges int64 lists)."""
+    hashed = docs.where(F.col(id_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("key"),
+        F.xxhash64(F.col(id_col)).alias("_h"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            mins0, upd = state.get
+            s = set(mins0)
+        else:
+            s, upd = set(), 0
+        for pdf in pdfs:
+            # collapse per Arrow batch: state stays O(k + batch rows)
+            s.update(int(h) for h in pdf["_h"])
+            s = set(sorted(s)[:k])
+        mins = sorted(s)
+        upd += 1
+        state.update((mins, upd))
+        n = len(mins)
+        kth = mins[-1]
+        est = (
+            float(n) if n < k
+            else float(k - 1) / ((float(kth) + _TWO63) / _TWO64)
+        )
+        yield pd.DataFrame(
+            {"key": [key[0]], "upd": [upd], "n_mins": [n],
+             "kth_min": [kth], "est_distinct": [est]}
+        )
+
+    return hashed.groupBy("key").applyInPandasWithState(
+        update, OUT_SCHEMA, STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout,
+    )
