@@ -273,3 +273,71 @@ def test_session_window_boundary_semantics(spark):
         ("2024-01-01 00:00:00", 2),
         ("2024-01-01 01:00:00.000001", 2),
     ]
+
+
+def test_asof_and_range_randomized_stress(spark):
+    """Seeded randomized sweep: 2k rows, 40 users, timestamps drawn
+    from [0, 30) so (key, ts) collisions and exact boundary hits are
+    FREQUENT, plus NULL sprinkles — both operators vs brute force in
+    one Spark action each (covers orders of magnitude more tie/dup
+    configurations than the handcrafted cases above)."""
+    import random
+
+    from tabular_data_semantics_py_spark.operators.temporal import range_agg
+
+    rng = random.Random(20260820)
+    left, right = [], []
+    for i in range(1000):
+        uid = rng.randrange(40)
+        ts = rng.randrange(30) if rng.random() > 0.02 else None
+        left.append((i, uid, ts, round(rng.random() * 10, 2)))
+    for i in range(1000, 2000):
+        uid = rng.randrange(40)
+        ts = rng.randrange(30) if rng.random() > 0.02 else None
+        right.append((i, uid, ts, round(rng.random() * 10, 2)))
+
+    l = spark.createDataFrame(
+        left, "event_id long, user_id long, ts long, value double"
+    )
+    r = spark.createDataFrame(
+        right, "event_id long, user_id long, ts long, value double"
+    ).select("user_id", "ts", "event_id", "value")
+
+    # --- asof vs brute (brute_asof also models the (key,ts) dedup) ---
+    got = {
+        row["event_id"]: row
+        for row in asof_join(
+            l, r, on="user_id", ts_col="ts",
+            payload_cols=["event_id", "value"], tiebreak_col="event_id",
+        ).collect()
+    }
+    exp = brute_asof(left, right)
+    assert len(got) == len(left)
+    for eid, match in exp.items():
+        g = got[eid]
+        trip = (g["asof_ts"], g["asof_event_id"], g["asof_value"])
+        assert trip == (match if match else (None, None, None)), (eid, trip, match)
+
+    # --- range_agg vs brute, window [ts-5, ts-1] ---
+    got2 = {
+        row["event_id"]: row
+        for row in range_agg(
+            l.where(F.col("ts").isNotNull()),
+            r.where(F.col("ts").isNotNull()),
+            on="user_id", ord_col="ts", lower=-5, upper=-1,
+        ).collect()
+    }
+    for eid, uid, ts, _v in left:
+        if ts is None:
+            continue
+        hits = [rv for (reid, ruid, rts, rv) in right
+                if ruid == uid and rts is not None
+                and ts - 5 <= rts <= ts - 1]
+        g = got2[eid]
+        assert g["n_in_range"] == len(hits), (eid, g)
+        if hits:
+            from decimal import Decimal
+            exp_sum = float(sum(Decimal(str(v)) for v in hits))
+            assert g["sum_in_range"] == exp_sum, (eid, g, exp_sum)
+        else:
+            assert g["sum_in_range"] is None, (eid, g)
