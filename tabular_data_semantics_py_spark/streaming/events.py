@@ -48,10 +48,28 @@ def stream_events_from_parquet(
 
 def hourly_rollup_stream(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour window count/sum per event_type with a 2-hour
-    watermark for late data."""
-    with_ts = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    watermark for late data.
+
+    Event time must be TimestampType (Spark rejects NTZ watermarks),
+    but a plain ``cast`` routes the wall clock through the session
+    time zone — shifting every window in a non-UTC driver and, in
+    fractional-offset zones (+5:45 et al.), misaligning the printed
+    hour against the window boundary — whereas the batch mirror
+    (entry_queries.events_hourly) truncates the NTZ wall clock
+    tz-free. So the conversion is pinned: NTZ wall clock → epoch-us
+    by NTZ diff (tz-free) → ``timestamp_micros`` (the instant whose
+    UTC wall clock is the original), and the window boundary prints
+    via ``convert_timezone('UTC', ...)`` — stream ≡ batch in ANY
+    session time zone (tested)."""
+    ts_utc = F.timestamp_micros(
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "cast('1970-01-01 00:00:00' as timestamp_ntz), ts)"
+        )
+    )
     return (
-        with_ts.withWatermark("ts", "2 hours")
+        events.withColumn("ts", ts_utc)
+        .withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -59,7 +77,10 @@ def hourly_rollup_stream(events: DataFrame) -> DataFrame:
             .alias("total_value"),
         )
         .select(
-            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.date_format(
+                F.expr("convert_timezone('UTC', win.start)"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("hour"),
             "event_type", "n_events", "total_value",
         )
     )

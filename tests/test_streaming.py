@@ -71,3 +71,72 @@ def test_streaming_dedup_bounded(spark, events_dir):
     # within one availableNow pass over a single file the watermark
     # never closes, so the stream dedups the full horizon == batch
     assert n_stream == n_batch
+
+
+def test_hourly_rollup_stream_tz_free(spark, events_dir):
+    """Stream ≡ tz-free batch hourly under a FRACTIONAL-offset session
+    zone (+5:45): pins the NTZ-diff/timestamp_micros/convert_timezone
+    chain — a session-tz cast would shift every window AND misalign
+    the printed hour from the window boundary here."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+        events = stream_events_from_parquet(spark, events_dir)
+        got = _run_available_now(
+            hourly_rollup_stream(events), spark, "hourly"
+        )
+        batch = (
+            spark.read.parquet(EVENTS)
+            .groupBy(
+                F.date_format(
+                    F.date_trunc("hour", F.col("ts")),
+                    "yyyy-MM-dd HH:mm:ss",
+                ).alias("hour"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                .alias("total_value"),
+            )
+        )
+        assert {tuple(r) for r in got.collect()} \
+            == {tuple(r) for r in batch.collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_streamed_hourly_feeds_daily_cascade(spark, events_dir):
+    """The continuous-aggregate story end-to-end: the STREAMED hourly
+    level re-aggregates to the daily level exactly — each hourly
+    total is an exact 2-decimal value, so re-casting to decimal
+    restores the lossless cascade — equal to the batch
+    cascade_rollup daily (itself oracle-proven equal to
+    daily-from-raw)."""
+    from tabular_data_semantics_py_spark.operators.temporal import (
+        cascade_rollup,
+    )
+
+    events = stream_events_from_parquet(spark, events_dir)
+    hourly = _run_available_now(hourly_rollup_stream(events), spark, "hourly")
+    daily_from_stream = (
+        hourly.groupBy(
+            F.substring("hour", 1, 10).alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum(F.col("total_value").cast("decimal(18,2)"))
+            .cast("double").alias("total_value"),
+        )
+    )
+    _, daily_raw = cascade_rollup(spark.read.parquet(EVENTS))
+    g = {tuple(r) for r in daily_from_stream.collect()}
+    b = {
+        tuple(r)
+        for r in daily_raw.select(
+            "day", "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            "total_value",
+        ).collect()
+    }
+    assert g == b
