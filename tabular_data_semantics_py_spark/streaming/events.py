@@ -22,6 +22,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def ntz_wall_as_utc_instant(col: str):
+    """NTZ wall clock → the TimestampType instant whose UTC wall
+    clock is that value, independent of the session time zone (a
+    plain cast would interpret the wall clock in the session zone —
+    and throw/shift on DST-gap wall times there). The watermark/event
+    -time device shared by every streaming operator in this module."""
+    return F.timestamp_micros(
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"cast('1970-01-01 00:00:00' as timestamp_ntz), {col})"
+        )
+    )
+
+
 def stream_events_from_parquet(
     spark: SparkSession, path: str, schema=None
 ) -> DataFrame:
@@ -61,14 +75,8 @@ def hourly_rollup_stream(events: DataFrame) -> DataFrame:
     UTC wall clock is the original), and the window boundary prints
     via ``convert_timezone('UTC', ...)`` — stream ≡ batch in ANY
     session time zone (tested)."""
-    ts_utc = F.timestamp_micros(
-        F.expr(
-            "timestampdiff(MICROSECOND, "
-            "cast('1970-01-01 00:00:00' as timestamp_ntz), ts)"
-        )
-    )
     return (
-        events.withColumn("ts", ts_utc)
+        events.withColumn("ts", ntz_wall_as_utc_instant("ts"))
         .withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
@@ -88,9 +96,13 @@ def hourly_rollup_stream(events: DataFrame) -> DataFrame:
 
 def streaming_dedup(events: DataFrame, key_cols: list[str]) -> DataFrame:
     """Exact streaming dedup on key columns within the watermark
-    horizon (dropDuplicatesWithinWatermark → bounded state)."""
-    with_ts = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    horizon (dropDuplicatesWithinWatermark → bounded state). Output
+    ``ts`` is the tz-free instant (UTC wall clock = source NTZ wall
+    clock); which rows survive is key-driven and tz-independent
+    either way, but the shared device avoids DST-gap wall times
+    throwing under a non-UTC session."""
     return (
-        with_ts.withWatermark("ts", "2 hours")
+        events.withColumn("ts", ntz_wall_as_utc_instant("ts"))
+        .withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(key_cols)
     )
