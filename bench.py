@@ -460,7 +460,10 @@ def run_components_scale(spark, n: int = 1_000_000, path: bool = False):
 
 
 BENCH_QUERIES = [
-    "kg_degree_dist",
+    # NOTE kg_degree_dist is deliberately NOT benched: it is
+    # fixture-backed, so a timed first call would measure corpus
+    # generation + the full materialize='all' pipeline warmup, not
+    # the milliseconds-scale census itself (its gate is the oracle)
     "pricing_summary",
     "order_revenue_topk",
     "top_orders_per_customer",

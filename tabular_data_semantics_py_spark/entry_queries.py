@@ -1374,6 +1374,19 @@ def events_hourly(spark, sf_dir):
     )
 
 
+def _ntz_epoch_us(col: str):
+    """Tz-free epoch-microseconds of a TIMESTAMP_NTZ column: NTZ diff
+    from a fixed naive epoch — never the session time zone (a
+    unix_micros(cast) would shift by the zone offset and break oracle
+    parity; see the events_sessions note and the streaming DST
+    lesson, streaming/events.py). The single shared copy of the
+    device for every temporal query below."""
+    return F.expr(
+        "timestampdiff(MICROSECOND, "
+        f"cast('1970-01-01 00:00:00' as timestamp_ntz), {col})"
+    ).cast("long")
+
+
 @q(
     "events_rollup_daily",
     lambda: """
@@ -1433,17 +1446,12 @@ def events_asof(spark, sf_dir):
     j = asof_join(l, r, on="user_id", ts_col="ts",
                   payload_cols=["event_id", "value"],
                   tiebreak_col="event_id")
-    # NTZ -> epoch-us via a fixed naive epoch, NOT unix_micros(cast):
-    # the cast routes through the session time zone and breaks oracle
-    # parity in any non-UTC driver (same device as events_sessions)
     return j.select(
         "event_id", "user_id",
-        F.expr("timestampdiff(MICROSECOND, cast('1970-01-01 00:00:00' as timestamp_ntz), ts)")
-        .cast("long").alias("ts_us"),
+        _ntz_epoch_us("ts").alias("ts_us"),
         "value",
         F.col("asof_event_id").alias("view_event_id"),
-        F.expr("timestampdiff(MICROSECOND, cast('1970-01-01 00:00:00' as timestamp_ntz), asof_ts)")
-        .cast("long").alias("view_ts_us"),
+        _ntz_epoch_us("asof_ts").alias("view_ts_us"),
         F.col("asof_value").alias("view_value"),
     )
 
@@ -1474,11 +1482,7 @@ def events_range_count(spark, sf_dir):
     from .operators.temporal import range_agg
 
     e = _load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
-    # tz-free NTZ epoch-us (see events_asof note)
-    ts_us = (
-        F.expr("timestampdiff(MICROSECOND, cast('1970-01-01 00:00:00' as timestamp_ntz), ts)")
-        .cast("long").alias("ts_us")
-    )
+    ts_us = _ntz_epoch_us("ts").alias("ts_us")
     l = e.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", ts_us
     )
@@ -1540,12 +1544,10 @@ def events_sessions_native(spark, sf_dir):
             .alias("total_value"),
         )
     )
-    dev = ("timestampdiff(MICROSECOND, "
-           "cast('1970-01-01 00:00:00' as timestamp_ntz), {c})")
     return g.select(
         "user_id",
-        F.expr(dev.format(c="w.start")).cast("long").alias("start_us"),
-        F.expr(dev.format(c="w.end")).cast("long").alias("end_us"),
+        _ntz_epoch_us("w.start").alias("start_us"),
+        _ntz_epoch_us("w.end").alias("end_us"),
         F.col("n_events").cast("long").alias("n_events"),
         "total_value",
     )
@@ -1575,12 +1577,7 @@ def events_sessions(spark, sf_dir):
     # parquet ts is TIMESTAMP_NTZ; extract epoch-ms without going
     # through the session time zone (the driver's session may not be
     # UTC): NTZ diffs via a fixed naive epoch are tz-free
-    ms = (
-        F.expr(
-            "timestampdiff(MICROSECOND, "
-            "cast('1970-01-01 00:00:00' as timestamp_ntz), ts) div 1000"
-        )
-    ).cast("long")
+    ms = F.floor(_ntz_epoch_us("ts") / F.lit(1000)).cast("long")
     prev = F.lag(ms).over(w)
     is_start = F.when(
         prev.isNull() | ((ms - prev) > 1_800_000), 1

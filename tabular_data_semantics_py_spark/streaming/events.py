@@ -85,8 +85,18 @@ def hourly_rollup_stream(events: DataFrame) -> DataFrame:
             .alias("total_value"),
         )
         .select(
+            # instant → NTZ via epoch ARITHMETIC, not convert_timezone:
+            # convert_timezone('UTC', <TimestampType>) first casts the
+            # instant to NTZ through the SESSION zone, and in a DST
+            # fall-back overlap that round-trip resolves the ambiguous
+            # wall time to the earlier offset — two distinct windows
+            # then print the same hour (probe-confirmed under
+            # America/New_York). unix_micros of an instant is tz-free.
             F.date_format(
-                F.expr("convert_timezone('UTC', win.start)"),
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(win.start), "
+                    "cast('1970-01-01 00:00:00' as timestamp_ntz))"
+                ),
                 "yyyy-MM-dd HH:mm:ss",
             ).alias("hour"),
             "event_type", "n_events", "total_value",

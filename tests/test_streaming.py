@@ -140,3 +140,64 @@ def test_streamed_hourly_feeds_daily_cascade(spark, events_dir):
         ).collect()
     }
     assert g == b
+
+
+def test_hourly_rollup_stream_dst_fall_back(spark, tmp_path):
+    """Under a DST session zone, windows landing in the fall-back
+    overlap must still print distinct, correct hours. Events span
+    2024-11-03 04:00-08:00 (the America/New_York fall-back is
+    05:00-06:00 UTC): a convert_timezone/cast round-trip through the
+    session zone collapses the 05:00 and 06:00 windows onto one
+    printed hour — probe-confirmed — while the epoch-arithmetic
+    device keeps stream ≡ tz-free batch."""
+    import pandas as pd
+
+    rows = []
+    for i, minutes in enumerate(range(0, 4 * 60, 7)):  # every 7 min
+        rows.append((i, pd.Timestamp("2024-11-03 04:00:00")
+                     + pd.Timedelta(minutes=minutes)))
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.Series([r[1] for r in rows]).astype("datetime64[us]"),
+            "user_id": [r[0] % 5 for r in rows],
+            "event_type": ["e"] * len(rows),
+            "value": [1.25] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    src = tmp_path / "dst_in"
+    src.mkdir()
+    pdf.to_parquet(src / "part-0.parquet")
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = _run_available_now(
+            hourly_rollup_stream(
+                stream_events_from_parquet(spark, str(src))
+            ),
+            spark, "hourly",
+        )
+        g = {tuple(r) for r in got.collect()}
+        batch = (
+            spark.read.parquet(str(src / "part-0.parquet"))
+            .groupBy(
+                F.date_format(
+                    F.date_trunc("hour", F.col("ts")),
+                    "yyyy-MM-dd HH:mm:ss",
+                ).alias("hour"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                .alias("total_value"),
+            )
+        )
+        b = {tuple(r) for r in batch.collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert g == b
+    # all four hours distinct — the overlap did not collapse windows
+    assert len({h for (h, *_r) in g}) == 4, sorted(g)
