@@ -349,28 +349,107 @@ def run_cpa_skew(spark, n_rows: int = 1_000_000, n_ent: int = 200_000):
     return out
 
 
-def run_asof_skew(spark, n_rows: int = 2_000_000, n_users: int = 10_000):
+def run_asof_skew(spark, n_rows: int = 2_000_000, n_users: int = 10_000,
+                  hot_threshold: int = 100_000):
     """Hot-key skew evidence for asof_join (operators/temporal.py).
     A window cannot split one key across tasks, so a hot key's rows
-    sort inside a single task — the operator's documented per-key
-    bound (unlike the agg/join stages, where AQE skew-split + partial
-    aggregation absorb hot keys). This measures how that bound
-    behaves in practice: 2M events over 10k users, vs 50% of ALL
-    rows on ONE user. Timestamps are scattered (id*7919 mod 1e9,
-    coprime -> distinct), halves split left/right by parity. The run
-    action aggregates the matched payload, which forces the window
-    (a bare count() would let Catalyst prune the asof columns).
+    sort inside a single task — the bound the r4 bench measured at
+    2.2-2.7× with 50% of ALL rows on ONE user. Round 5 adds the
+    operator's skew-safe mode (hot_threshold: per-key time-range
+    bucket salt + cumulated carry patch), so this now measures FOUR
+    interleaved variants over the same 2M-event inputs:
+
+    - uniform / device-on (the no-hot-keys overhead case: the stats
+      pass finds nothing, bucketing degenerates to bucket 0)
+    - skew / device-on   (the headline: hot key split into
+      ~n_hot/threshold bounded buckets)
+    - uniform + skew / legacy (device off — the one-fat-task bound,
+      kept as the before-evidence pair)
+
+    At this 2M scale the device's two extra passes cost more than the
+    1M-row fat sort they remove (absolute skew-dev > skew-legacy);
+    the crossover where the device wins outright is ~8M rows on this
+    box (scripts/measure_asof_crossover.py, BENCH/BASELINE.md) and
+    widens linearly with hot-key size — the 100 TB regime is
+    unambiguous. What this bench pins is the RATIO: bounded-task
+    skew/uniform ≤ 1.5 where the legacy pair shows 2.2-2.7.
+
+    Timestamps are scattered (id*7919 mod 1e9, coprime -> distinct),
+    halves split left/right by parity; the user derives from the PAIR
+    id (id div 2) so each pair yields one left and one right row on
+    the SAME user and the carry/match path is actually exercised. The
+    run action aggregates the matched payload, which forces the
+    window (a bare count() would let Catalyst prune the asof
+    columns). Returns {"uniform", "skew", "skew_legacy"} best-of-2,
+    interleaved so a host-weather episode cannot land on one side
+    only.
     """
     from pyspark.sql import functions as F
 
     from tabular_data_semantics_py_spark.operators.temporal import asof_join
 
     def build(skew: bool):
-        # user derives from the PAIR id (id div 2): each pair yields
-        # one left (odd id) and one right (even id) row on the SAME
-        # user, so the carry-forward/match path is actually exercised
-        # (a user keyed on the raw id would put odd ids -- all left --
-        # on odd users and the join would match nothing)
+        ids = spark.range(n_rows)
+        pair = F.expr("id div 2")
+        user = pair % n_users
+        if skew:
+            user = F.when(pair % 2 == 0, F.lit(0)).otherwise(user)
+        return ids.select(
+            F.col("id").alias("event_id"),
+            user.alias("user_id"),
+            (F.col("id") * 7919 % 1_000_000_000).alias("ts_us"),
+            (F.col("id") % 1000 / F.lit(10.0)).alias("value"),
+            (F.col("id") % 2 == 1).alias("is_left"),
+        ).localCheckpoint()
+
+    def run(df, th):
+        l = df.where("is_left").select("event_id", "user_id", "ts_us",
+                                       "value")
+        r = df.where("NOT is_left").select("user_id", "ts_us", "event_id",
+                                           "value")
+        j = asof_join(l, r, on="user_id", ts_col="ts_us",
+                      payload_cols=["event_id", "value"],
+                      tiebreak_col="event_id", hot_threshold=th)
+        j.agg(F.count("asof_event_id"), F.sum("asof_value")).collect()
+
+    variants = [("uniform", False, hot_threshold),
+                ("skew", True, hot_threshold),
+                ("uniform_legacy", False, None),
+                ("skew_legacy", True, None)]
+    for _name, skew, th in variants:
+        run(build(skew).limit(1000), th)
+    out = {name: float("inf") for name, _, _ in variants}
+    for _rep in range(2):
+        for name, skew, th in variants:
+            df = build(skew)
+            _gc(spark)
+            t0 = time.time()
+            run(df, th)
+            out[name] = min(out[name], time.time() - t0)
+    return out
+
+
+def run_range_skew(spark, n_rows: int = 2_000_000, n_users: int = 10_000):
+    """Hot-key skew evidence for range_agg: the rangeBetween window
+    shares asof_join's one-partition-per-key bound. The frame is the
+    trailing [ts-1000, ts-1] over scattered-mod-1e9 timestamps —
+    deliberately NARROW, because Spark evaluates sliding range frames
+    by rescanning the buffered frame per output row (O(occupancy) per
+    row, no retraction): a hot key packs 1000× more rows into any
+    fixed time window, so a wide frame measures that inherent
+    occupancy blow-up (quadratic on the hot key — a 5e6-width frame
+    here runs MINUTES), not the partition-skew bound this pair
+    isolates. That occupancy cost is real at 100 TB but belongs to
+    frame width × key density, and no partitioning device removes it;
+    the device-portable part is the sort/partition bound, measured
+    here. VERDICT r04 #7: the asof two-pass device is ported only if
+    this ratio exceeds the 2× budget. Returns (sec_uniform,
+    sec_skew)."""
+    from pyspark.sql import functions as F
+
+    from tabular_data_semantics_py_spark.operators.temporal import range_agg
+
+    def build(skew: bool):
         ids = spark.range(n_rows)
         pair = F.expr("id div 2")
         user = pair % n_users
@@ -385,14 +464,11 @@ def run_asof_skew(spark, n_rows: int = 2_000_000, n_users: int = 10_000):
         ).localCheckpoint()
 
     def run(df):
-        l = df.where("is_left").select("event_id", "user_id", "ts_us",
-                                       "value")
-        r = df.where("NOT is_left").select("user_id", "ts_us", "event_id",
-                                           "value")
-        j = asof_join(l, r, on="user_id", ts_col="ts_us",
-                      payload_cols=["event_id", "value"],
-                      tiebreak_col="event_id")
-        j.agg(F.count("asof_event_id"), F.sum("asof_value")).collect()
+        l = df.where("is_left").select("event_id", "user_id", "ts_us")
+        r = df.where("NOT is_left").select("user_id", "ts_us", "value")
+        j = range_agg(l, r, on="user_id", ord_col="ts_us",
+                      lower=-1000, upper=-1)
+        j.agg(F.count("n_in_range"), F.sum("sum_in_range")).collect()
 
     return _interleaved_best2(spark, build, run)
 
@@ -538,9 +614,15 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
     timings["cpa_uniform"] = round(p_u, 3)
     timings["cpa_skew"] = round(p_s, 3)
 
-    a_u, a_s = run_asof_skew(spark)
-    timings["asof_uniform"] = round(a_u, 3)
-    timings["asof_skew"] = round(a_s, 3)
+    asf = run_asof_skew(spark)
+    timings["asof_uniform"] = round(asf["uniform"], 3)
+    timings["asof_skew"] = round(asf["skew"], 3)
+    timings["asof_uniform_legacy"] = round(asf["uniform_legacy"], 3)
+    timings["asof_skew_legacy"] = round(asf["skew_legacy"], 3)
+
+    r_u, r_s = run_range_skew(spark)
+    timings["range_uniform"] = round(r_u, 3)
+    timings["range_skew"] = round(r_s, 3)
 
     comp = run_components_scale(spark)
     timings["components_star_1m"] = comp["star_sec"]
@@ -558,7 +640,11 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
         "skew_ratio": round(sec_s / sec_u, 3),
         "vote_skew_ratio": round(v_s / v_u, 3),
         "cpa_skew_ratio": round(p_s / p_u, 3),
-        "asof_skew_ratio": round(a_s / a_u, 3),
+        "asof_skew_ratio": round(asf["skew"] / asf["uniform"], 3),
+        "asof_skew_legacy_ratio": round(
+            asf["skew_legacy"] / asf["uniform_legacy"], 3
+        ),
+        "range_skew_ratio": round(r_s / r_u, 3),
         "components_star_rounds": comp["star_rounds"],
     }
     spark.stop()

@@ -1457,6 +1457,55 @@ def events_asof(spark, sf_dir):
 
 
 @q(
+    "events_asof_hot",
+    lambda: """
+WITH v AS (
+  SELECT user_id, ts, event_id, value
+  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                             ORDER BY event_id DESC) = 1
+),
+p AS (SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+       v.event_id AS view_event_id, epoch_us(v.ts) AS view_ts_us,
+       v.value AS view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+)
+def events_asof_hot(spark, sf_dir):
+    """The SKEW-SAFE as-of join path (operators/temporal.asof_join
+    with hot_threshold): hot keys are salted by a per-key time-range
+    bucket so no task sorts more than ~threshold rows of one key, and
+    cross-bucket matches are patched from a tiny cumulated carry
+    table. threshold=16 at sf0.01 (~60-80 events/user) makes EVERY
+    user hot with ~4-5 buckets, so the bucket windows, the carry
+    cumulation, and the patch join all do real work — against the
+    same DuckDB NATIVE ASOF LEFT JOIN oracle as events_asof (the
+    device must be semantics-invisible)."""
+    from .operators.temporal import asof_join
+
+    e = _load(spark, sf_dir, "events")
+    l = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    r = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(l, r, on="user_id", ts_col="ts",
+                  payload_cols=["event_id", "value"],
+                  tiebreak_col="event_id", hot_threshold=16)
+    return j.select(
+        "event_id", "user_id",
+        _ntz_epoch_us("ts").alias("ts_us"),
+        "value",
+        F.col("asof_event_id").alias("view_event_id"),
+        _ntz_epoch_us("asof_ts").alias("view_ts_us"),
+        F.col("asof_value").alias("view_value"),
+    )
+
+
+@q(
     "events_range_count",
     lambda: """
 WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events

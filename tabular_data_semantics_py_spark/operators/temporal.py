@@ -9,9 +9,10 @@ forward onto every subsequent left row. Compared to the naive
 theta-join (``l.key = r.key AND r.ts <= l.ts`` + argmax), which
 Catalyst can only execute as a per-key cross product, this is
 O(n log n) per key with no range explosion — at 100 TB the window
-sort rides the same shuffle the join would need anyway, and skew is
-bounded by per-key row counts (a hot key costs one fat sorted
-partition, not |L_key|×|R_key| pairs).
+sort rides the same shuffle the join would need anyway. A hot key
+would still cost one fat sorted partition, so ``hot_threshold``
+enables a two-pass time-bucket split (see ``asof_join``) that bounds
+every task at ~threshold rows per key with two extra cheap shuffles.
 
 Semantics pinned against DuckDB's native ASOF LEFT JOIN (the
 oracle): ties at equal timestamps match (``l.ts >= r.ts``), right
@@ -27,10 +28,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# internal column names minted by asof_join / range_agg; a caller
+# frame that already carries one of these would silently collide with
+# the tagged-union bookkeeping, so both operators assert they are
+# absent up front (fail loud, not wrong)
+_RESERVED = (
+    "_side", "_tb", "_p", "_m", "_v", "_bkt", "_mx", "_carry",
+    "_hot_n", "_hot_lo", "_hot_hi", "_hot_nb", "_hot_w",
+    "n_in_range", "sum_in_range",
+)
+
+
+def _assert_no_reserved(left: DataFrame, right: DataFrame) -> None:
+    clash = [c for c in (*left.columns, *right.columns) if c in _RESERVED]
+    if clash:
+        raise ValueError(
+            f"asof_join/range_agg reserve internal column names {clash}; "
+            "rename them on the input frames"
+        )
+
+
+def _ord_expr(ts_col: str, dtype: str):
+    """A tz-free, non-decreasing NUMERIC image of the ts column, used
+    only for hot-key time-range bucket arithmetic (results never
+    depend on it — any monotone map yields correct buckets).
+    timestamp_ntz diffs from a naive epoch (the session zone must not
+    move bucket boundaries between plan builds); plain timestamps use
+    unix_micros (already an instant); numerics cast to double (the
+    rounding is monotone, and a collision only merges two adjacent
+    buckets)."""
+    if dtype == "timestamp_ntz":
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"cast('1970-01-01 00:00:00' as timestamp_ntz), `{ts_col}`)"
+        ).cast("double")
+    if dtype == "timestamp":
+        return F.unix_micros(F.col(ts_col)).cast("double")
+    return F.col(ts_col).cast("double")
+
 
 def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
               payload_cols: list[str],
-              tiebreak_col: str) -> DataFrame:
+              tiebreak_col: str,
+              hot_threshold: int | None = None) -> DataFrame:
     """→ every ``left`` row plus ``asof_<ts_col>`` and
     ``asof_<payload>`` columns from the most recent ``right`` row
     with ``right.ts <= left.ts`` on the same ``on`` key (NULL when no
@@ -45,7 +85,32 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
     greatest-tiebreak right row at each timestamp — the plan carries
     exactly ONE Exchange (asserted in tests). ``tiebreak_col`` must
     be unique per (key, ts) group on the right for full determinism.
+
+    ``hot_threshold`` enables the SKEW-SAFE two-pass form. The plain
+    window puts a hot key's entire history into one task's sort (a
+    50%-hot key at 100 TB = one task sorting half the table — the
+    bound bench ``asof_skew`` measured at 2.2-2.7×). With a
+    threshold: keys whose union row count reaches it are salted by a
+    per-key TIME-RANGE bucket (``ceil(count/threshold)`` equal-width
+    ts ranges), the same last-ignorenulls window runs per
+    ``(key, bucket)`` — so no task sorts more than ~threshold rows of
+    any one key — and rows whose true match precedes their bucket are
+    patched from a carry table: one row per hot (key, bucket) holding
+    the bucket's last right payload, cumulated across buckets by a
+    second window over that TINY frame. Carry rows are bounded by
+    Σ ceil(cnt_hot/threshold) ≤ N/threshold regardless of key
+    cardinality (each hot key has ≥ threshold rows by definition), so
+    the carry broadcast is safe at any scale — unlike broadcasting a
+    dimension whose size tracks the data. Cost: the hot-stats
+    aggregate (map-side partials, (key,ts)-pruned scan) plus one
+    extra aggregate over the rows — two extra cheap shuffles total,
+    bucketing itself applies only to hot keys (cold keys keep bucket
+    0 and bit-identical legacy behavior). Semantics are UNCHANGED —
+    ``events_asof_hot`` hash-checks this path against DuckDB's native
+    ASOF JOIN, and the randomized stress test runs threshold=5 so
+    nearly every key buckets.
     """
+    _assert_no_reserved(left, right)
     lcols = left.columns
     rdtypes = dict(right.dtypes)
 
@@ -75,21 +140,105 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
         *[F.col(c) for c in lcols if c not in (on, ts_col)],
     )
 
+    u = tagged_l.unionByName(tagged_r)
+
     # asc = nulls first: a NULL-ts left row precedes every right row
     # and gets a NULL match for free (the oracle's NULL-never-matches);
     # _tb last in the sort makes the max-tiebreak right row the one
     # last() sees at each (ts, side=0) run
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(),
-                 F.col("_tb").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    m = tagged_l.unionByName(tagged_r).withColumn(
-        "_m",
-        F.last(F.when(F.col("_side") == 0, F.col("_p")),
-               ignorenulls=True).over(w),
-    )
+    order = [F.col(ts_col).asc(), F.col("_side").asc(), F.col("_tb").asc()]
+    match = F.last(F.when(F.col("_side") == 0, F.col("_p")),
+                   ignorenulls=True)
+
+    if hot_threshold is None:
+        w = (
+            Window.partitionBy(on).orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        m = u.withColumn("_m", match.over(w))
+    else:
+        ordv = _ord_expr(ts_col, dict(left.dtypes)[ts_col])
+        # per-key stats: only keys at/over the threshold survive, so
+        # this frame is bounded by N/threshold rows — broadcastable by
+        # construction at any key cardinality
+        stats = (
+            u.groupBy(on)
+            .agg(F.count(F.lit(1)).alias("_hot_n"),
+                 F.min(ordv).alias("_hot_lo"),
+                 F.max(ordv).alias("_hot_hi"))
+            .where(F.col("_hot_n") >= hot_threshold)
+            .select(
+                F.col(on), F.col("_hot_lo"),
+                F.ceil(F.col("_hot_n") / F.lit(hot_threshold))
+                .alias("_hot_nb"),
+                F.greatest(
+                    (F.col("_hot_hi") - F.col("_hot_lo"))
+                    / F.ceil(F.col("_hot_n") / F.lit(hot_threshold)),
+                    F.lit(1e-9),
+                ).alias("_hot_w"),
+            )
+        )
+        u = u.join(F.broadcast(stats), on=on, how="left").withColumn(
+            "_bkt",
+            # cold key → single bucket 0 (legacy behavior, bit-exact);
+            # hot NULL-ts left row → NULL bucket: no right rows there
+            # (right NULLs are filtered) and the carry equi-join can
+            # never hit a NULL key, so the match stays NULL. The
+            # explicit NULL arm matters: least() SKIPS nulls, so
+            # without it a NULL ordinal would land in the last bucket
+            # and wrongly pick up its carry.
+            F.when(F.col("_hot_nb").isNull(), F.lit(0).cast("long"))
+            .when(ordv.isNull(), F.lit(None).cast("long"))
+            .otherwise(F.least(
+                F.floor((ordv - F.col("_hot_lo")) / F.col("_hot_w")),
+                F.col("_hot_nb") - 1,
+            )),
+        )
+        w = (
+            Window.partitionBy(on, "_bkt").orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        m = u.withColumn("_m", match.over(w))
+        # carry: the bucket's greatest-(ts, tiebreak) right payload
+        # per hot (key, bucket), cumulated over STRICTLY EARLIER
+        # buckets. Aggregated over hot RIGHT rows only (half the
+        # extra pass); buckets holding no right rows still need a
+        # carry row, so the aggregate left-joins onto the DENSE
+        # (key, 0..nb-1) inventory exploded from the stats table —
+        # bucket counts are already known there, no second scan of
+        # the data. Every frame here holds ≤ N/threshold rows total,
+        # so the cumulation window and the patch-join broadcast are
+        # both trivially small at any scale.
+        bl = (
+            u.where((F.col("_side") == 0) & F.col("_hot_nb").isNotNull())
+            .groupBy(on, "_bkt")
+            .agg(F.max(
+                F.struct(F.col(ts_col), F.col("_tb"), F.col("_p"))
+            ).alias("_mx"))
+        )
+        inv = stats.select(
+            F.col(on),
+            F.explode(F.sequence(
+                F.lit(0).cast("long"), F.col("_hot_nb") - 1
+            )).alias("_bkt"),
+        )
+        carry = (
+            inv.join(F.broadcast(bl), [on, "_bkt"], "left")
+            .withColumn(
+                "_carry",
+                F.last(F.col("_mx")["_p"], ignorenulls=True).over(
+                    Window.partitionBy(on).orderBy(F.col("_bkt").asc())
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+            )
+            .select(F.col(on), F.col("_bkt"), F.col("_carry"))
+        )
+        m = (
+            m.where(F.col("_side") == 1)
+            .join(F.broadcast(carry), [on, "_bkt"], "left")
+            .withColumn("_m", F.coalesce(F.col("_m"), F.col("_carry")))
+        )
+
     return m.where(F.col("_side") == 1).select(
         *lcols,
         F.col("_m")[f"asof_{ts_col}"].alias(f"asof_{ts_col}"),
@@ -120,6 +269,7 @@ def range_agg(left: DataFrame, right: DataFrame, on: str, ord_col: str,
     the fold is associative and matches the oracle's sum exactly
     regardless of row order (same device as ``events_hourly``).
     """
+    _assert_no_reserved(left, right)
     rsel = right.select(
         F.col(on), F.col(ord_col), F.lit(0).alias("_side"),
         F.col(value_col).cast("decimal(18,2)").alias("_v"),

@@ -73,8 +73,12 @@ def hourly_rollup_stream(events: DataFrame) -> DataFrame:
     tz-free. So the conversion is pinned: NTZ wall clock → epoch-us
     by NTZ diff (tz-free) → ``timestamp_micros`` (the instant whose
     UTC wall clock is the original), and the window boundary prints
-    via ``convert_timezone('UTC', ...)`` — stream ≡ batch in ANY
-    session time zone (tested)."""
+    via epoch ARITHMETIC (``unix_micros`` + ``timestampadd`` from the
+    naive epoch — NOT ``convert_timezone('UTC', ...)``, whose
+    instant→NTZ round-trip through the session zone mislabels DST
+    fall-back windows; see the inline comment) — stream ≡ batch in
+    ANY session time zone (tested, incl. the America/New_York
+    fall-back overlap)."""
     return (
         events.withColumn("ts", ntz_wall_as_utc_instant("ts"))
         .withWatermark("ts", "2 hours")

@@ -57,6 +57,14 @@ def kmv_stream(docs: DataFrame, key_col: str = "lang",
             s.update(int(h) for h in pdf["_h"])
             s = set(sorted(s)[:k])
         mins = sorted(s)
+        if not mins:
+            # unreachable under GroupStateTimeout.NoTimeout (a group
+            # only fires with ≥1 input row, and state never shrinks),
+            # but a timeout/eviction mode added later WOULD call with
+            # an empty batch — emit nothing rather than IndexError
+            # on mins[-1]
+            state.update((mins, upd))
+            return
         upd += 1
         state.update((mins, upd))
         n = len(mins)

@@ -83,6 +83,28 @@ def test_asof_join_brute_force(spark):
     assert got[105]["asof_event_id"] is None  # NULL left ts
     assert got[103]["asof_event_id"] == 203   # NULL right ts skipped
 
+    # the skew-safe path (hot_threshold=2: every user hot, multiple
+    # time buckets) must reproduce the same pinned semantics —
+    # including the hot-key NULL-ts row (NULL bucket) and the
+    # carry-across-buckets patch
+    got_hot = {
+        row["event_id"]: row.asDict()
+        for row in asof_join(
+            l, r, on="user_id", ts_col="ts",
+            payload_cols=["event_id", "value"], tiebreak_col="event_id",
+            hot_threshold=2,
+        ).collect()
+    }
+    assert got_hot == got
+
+
+def test_asof_join_reserved_name_guard(spark):
+    l = spark.createDataFrame([(1, 10, 0.5)], "user_id long, ts long, _p double")
+    r = spark.createDataFrame([(1, 5, 1)], "user_id long, ts long, event_id long")
+    with pytest.raises(ValueError, match="reserve internal column"):
+        asof_join(l, r, on="user_id", ts_col="ts",
+                  payload_cols=["event_id"], tiebreak_col="event_id")
+
 
 def test_asof_join_single_shuffle(spark):
     """The plan carries no join node at all and exactly ONE Exchange
@@ -109,6 +131,31 @@ def test_asof_join_single_shuffle(spark):
                       "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert count_nodes(plan, join_node) == 0, plan
     assert count_nodes(plan, "Exchange") == 1, plan
+
+    # skew-safe path: still no shuffled join / cross product anywhere;
+    # the main data hits exactly ONE Window sort (partitioned by
+    # (key, bucket)), the second Window runs over the tiny carry
+    # frame. The lazy plan shows 5 Exchanges because the hot-stats
+    # subtree is printed once per consuming branch (main + carry) —
+    # at runtime AQE collapses those to a ReusedExchange, leaving 4
+    # distinct shuffles: hot-stats partials, the main window, the
+    # carry partials, the carry cumulation — the last three of which
+    # move ≤ N/threshold rows.
+    plan_hot = formatted_explain(asof_join(
+        l, r, on="user_id", ts_col="ts",
+        payload_cols=["event_id", "value"], tiebreak_col="event_id",
+        hot_threshold=10,
+    ))
+    assert count_nodes(plan_hot, "Window") == 2, plan_hot
+    for join_node in ("SortMergeJoin", "BroadcastNestedLoopJoin",
+                      "CartesianProduct"):
+        assert count_nodes(plan_hot, join_node) == 0, plan_hot
+    # 4 broadcast joins: hot-stats onto the main branch, hot-stats
+    # onto the carry-aggregate branch, the carry aggregate onto the
+    # dense bucket inventory, and the carry patch onto the output —
+    # every broadcast side is ≤ N/threshold rows by construction
+    assert count_nodes(plan_hot, "BroadcastHashJoin") == 4, plan_hot
+    assert count_nodes(plan_hot, "Exchange") == 5, plan_hot
 
 
 def test_range_agg_brute_force_and_boundaries(spark):
@@ -317,6 +364,28 @@ def test_asof_and_range_randomized_stress(spark):
         g = got[eid]
         trip = (g["asof_ts"], g["asof_event_id"], g["asof_value"])
         assert trip == (match if match else (None, None, None)), (eid, trip, match)
+
+    # skew-safe path under the same adversarial tie/dup/NULL density:
+    # threshold=5 makes every user hot with ~10 time buckets over the
+    # 30-tick range, so bucket boundaries land ON colliding
+    # timestamps and many buckets carry no right rows (exercising the
+    # strictly-earlier carry patch); threshold=2000 exercises the
+    # no-hot-keys degenerate arm of the same code path
+    for th in (5, 2000):
+        got_hot = {
+            row["event_id"]: row
+            for row in asof_join(
+                l, r, on="user_id", ts_col="ts",
+                payload_cols=["event_id", "value"],
+                tiebreak_col="event_id", hot_threshold=th,
+            ).collect()
+        }
+        assert len(got_hot) == len(left)
+        for eid, match in exp.items():
+            g = got_hot[eid]
+            trip = (g["asof_ts"], g["asof_event_id"], g["asof_value"])
+            assert trip == (match if match else (None, None, None)), \
+                (th, eid, trip, match)
 
     # --- range_agg vs brute, window [ts-5, ts-1] ---
     got2 = {
