@@ -97,14 +97,32 @@ def knn_bruteforce(
     nested-loop join; rank ties broken by neighbor id. Top-k is the
     shared two-phase reduction (``_two_phase_topk``), never a
     single-task window sort.
-    """
-    q = emb.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+
+    Self-norms are precomputed per SIDE below the join (a Project on
+    each input), not per pair: ``cosine_expr`` inline would re-fold
+    ``sqrt(dot(v,v))`` for both vectors on every (candidate, query)
+    row — 3 array folds per pair where only the cross dot actually
+    varies. Per-pair work drops to ONE fold (~3× fewer flops; r5
+    measured 2.7 → 1.1 s at sf0.1). Bit-parity with the oracle is
+    unchanged: the norms are the same IEEE doubles, just computed
+    once, and the quotient keeps the exact ``dot / nullif(na*nb, 0)``
+    shape (NULL for zero-norm vectors, never DIVIDE_BY_ZERO)."""
+    def _with_norm(df, id_alias, v_alias, n_alias):
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            _as_double(F.col(vec_col)).alias(v_alias),
+        ).withColumn(n_alias, F.sqrt(_dot(F.col(v_alias), F.col(v_alias))))
+
+    q = _with_norm(emb.where(F.col(id_col).isin(query_ids)),
+                   "query_id", "qv", "qn")
+    c = _with_norm(emb, "neighbor_id", "cv", "cn")
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos",
+            _dot(F.col("qv"), F.col("cv"))
+            / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0)),
+        )
     )
     return _two_phase_topk(scored, "neighbor_id", k)
 
