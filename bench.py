@@ -429,7 +429,8 @@ def run_asof_skew(spark, n_rows: int = 2_000_000, n_users: int = 10_000,
     return out
 
 
-def run_range_skew(spark, n_rows: int = 2_000_000, n_users: int = 10_000):
+def run_range_skew(spark, n_rows: int = 2_000_000, n_users: int = 10_000,
+                   hot_threshold: int = 100_000):
     """Hot-key skew evidence for range_agg: the rangeBetween window
     shares asof_join's one-partition-per-key bound. The frame is the
     trailing [ts-1000, ts-1] over scattered-mod-1e9 timestamps —
@@ -442,9 +443,13 @@ def run_range_skew(spark, n_rows: int = 2_000_000, n_users: int = 10_000):
     isolates. That occupancy cost is real at 100 TB but belongs to
     frame width × key density, and no partitioning device removes it;
     the device-portable part is the sort/partition bound, measured
-    here. VERDICT r04 #7: the asof two-pass device is ported only if
-    this ratio exceeds the 2× budget. Returns (sec_uniform,
-    sec_skew)."""
+    here. The r5 session measured the legacy ratio at 2.0-3.1 — over
+    the 2× budget — so the device was ported (VERDICT r04 #7):
+    ord-range bucket salt with the width floored at the frame width,
+    right rows replicated into the ≤ 2 adjacent buckets their
+    frame-reach covers, no carry pass. Same 4-variant interleaved
+    grid as run_asof_skew. Returns {"uniform", "skew",
+    "uniform_legacy", "skew_legacy"}."""
     from pyspark.sql import functions as F
 
     from tabular_data_semantics_py_spark.operators.temporal import range_agg
@@ -463,14 +468,28 @@ def run_range_skew(spark, n_rows: int = 2_000_000, n_users: int = 10_000):
             (F.col("id") % 2 == 1).alias("is_left"),
         ).localCheckpoint()
 
-    def run(df):
+    def run(df, th):
         l = df.where("is_left").select("event_id", "user_id", "ts_us")
         r = df.where("NOT is_left").select("user_id", "ts_us", "value")
         j = range_agg(l, r, on="user_id", ord_col="ts_us",
-                      lower=-1000, upper=-1)
+                      lower=-1000, upper=-1, hot_threshold=th)
         j.agg(F.count("n_in_range"), F.sum("sum_in_range")).collect()
 
-    return _interleaved_best2(spark, build, run)
+    variants = [("uniform", False, hot_threshold),
+                ("skew", True, hot_threshold),
+                ("uniform_legacy", False, None),
+                ("skew_legacy", True, None)]
+    for _name, skew, th in variants:
+        run(build(skew).limit(1000), th)
+    out = {name: float("inf") for name, _, _ in variants}
+    for _rep in range(2):
+        for name, skew, th in variants:
+            df = build(skew)
+            _gc(spark)
+            t0 = time.time()
+            run(df, th)
+            out[name] = min(out[name], time.time() - t0)
+    return out
 
 
 def run_components_scale(spark, n: int = 1_000_000, path: bool = False):
@@ -620,9 +639,11 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
     timings["asof_uniform_legacy"] = round(asf["uniform_legacy"], 3)
     timings["asof_skew_legacy"] = round(asf["skew_legacy"], 3)
 
-    r_u, r_s = run_range_skew(spark)
-    timings["range_uniform"] = round(r_u, 3)
-    timings["range_skew"] = round(r_s, 3)
+    rng = run_range_skew(spark)
+    timings["range_uniform"] = round(rng["uniform"], 3)
+    timings["range_skew"] = round(rng["skew"], 3)
+    timings["range_uniform_legacy"] = round(rng["uniform_legacy"], 3)
+    timings["range_skew_legacy"] = round(rng["skew_legacy"], 3)
 
     comp = run_components_scale(spark)
     timings["components_star_1m"] = comp["star_sec"]
@@ -644,7 +665,10 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
         "asof_skew_legacy_ratio": round(
             asf["skew_legacy"] / asf["uniform_legacy"], 3
         ),
-        "range_skew_ratio": round(r_s / r_u, 3),
+        "range_skew_ratio": round(rng["skew"] / rng["uniform"], 3),
+        "range_skew_legacy_ratio": round(
+            rng["skew_legacy"] / rng["uniform_legacy"], 3
+        ),
         "components_star_rounds": comp["star_rounds"],
     }
     spark.stop()

@@ -1548,6 +1548,50 @@ def events_range_count(spark, sf_dir):
 
 
 @q(
+    "events_range_hot",
+    lambda: """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+           WHERE event_type = 'purchase' AND ts IS NOT NULL),
+v AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL)
+SELECT p.event_id, p.user_id, p.ts_us,
+       CAST(COUNT(v.ts_us) AS BIGINT) AS n_views,
+       CAST(SUM(CAST(v.value AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_view_value
+FROM p LEFT JOIN v
+  ON p.user_id = v.user_id
+ AND v.ts_us BETWEEN p.ts_us - 1800000000 AND p.ts_us - 1
+GROUP BY 1, 2, 3
+""",
+)
+def events_range_hot(spark, sf_dir):
+    """The SKEW-SAFE range join path (range_agg with hot_threshold):
+    hot keys salted by ord-range buckets with the width floored at
+    the frame width, right rows replicated into the ≤ 2 buckets their
+    frame-reach covers. threshold=16 at sf0.01 makes every user hot
+    with real cross-bucket replication — against the same naive
+    BETWEEN-join oracle as events_range_count (the device must be
+    semantics-invisible)."""
+    from .operators.temporal import range_agg
+
+    e = _load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    ts_us = _ntz_epoch_us("ts").alias("ts_us")
+    l = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_us
+    )
+    r = e.where(F.col("event_type") == "view").select(
+        "user_id", ts_us, "value"
+    )
+    j = range_agg(l, r, on="user_id", ord_col="ts_us",
+                  lower=-1_800_000_000, upper=-1, hot_threshold=16)
+    return j.select(
+        "event_id", "user_id", "ts_us",
+        F.col("n_in_range").alias("n_views"),
+        F.col("sum_in_range").alias("sum_view_value"),
+    )
+
+
+@q(
     "events_sessions_native",
     lambda: """
 WITH g AS (

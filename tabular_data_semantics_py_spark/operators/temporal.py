@@ -249,7 +249,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
 
 def range_agg(left: DataFrame, right: DataFrame, on: str, ord_col: str,
               lower: int, upper: int,
-              value_col: str = "value") -> DataFrame:
+              value_col: str = "value",
+              hot_threshold: int | None = None) -> DataFrame:
     """→ every ``left`` row plus ``n_in_range`` / ``sum_in_range``:
     the count and value-sum of ``right`` rows whose ordering value
     lies in ``[l.ord + lower, l.ord + upper]`` on the same key — the
@@ -268,6 +269,26 @@ def range_agg(left: DataFrame, right: DataFrame, on: str, ord_col: str,
     The value sum runs in decimal(18,2) and casts back to double, so
     the fold is associative and matches the oracle's sum exactly
     regardless of row order (same device as ``events_hourly``).
+
+    ``hot_threshold`` enables the SKEW-SAFE form (same bound as
+    ``asof_join``: a hot key's whole history otherwise sorts in one
+    task — bench ``range_skew`` measured 2-3×). Hot keys are salted
+    by per-key equal-width ord-range buckets; a LEFT row lands in
+    exactly one bucket, and each hot RIGHT row is replicated into
+    every bucket whose left rows could reach it — with bucket width
+    floored at the frame width ``upper - lower``, that is at most 2
+    adjacent buckets, so hot-side inflation is ≤ 2×. The per-bucket
+    ``rangeBetween`` frame then sees exactly the right rows a left
+    row's [l+lower, l+upper] interval covers (replicas a frame does
+    not cover are excluded by the frame itself, and a left row lives
+    in ONE bucket, so nothing double-counts) — no carry pass needed,
+    unlike asof. Inherent floor: rows within one frame width of ord
+    must share a bucket, so a hot key denser than threshold rows per
+    frame width still yields fat buckets — that residual is frame
+    occupancy, which no partitioning can split (Spark evaluates
+    sliding range frames per row over the buffered frame). Cold keys
+    keep bucket 0 and bit-identical legacy behavior; the plan gains
+    the hot-stats aggregate and its broadcast join, nothing else.
     """
     _assert_no_reserved(left, right)
     rsel = right.select(
@@ -281,14 +302,61 @@ def range_agg(left: DataFrame, right: DataFrame, on: str, ord_col: str,
         F.lit(None).cast("decimal(18,2)").alias("_v"),
         *[F.col(c) for c in left.columns if c not in (on, ord_col)],
     )
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col(ord_col).asc())
-        .rangeBetween(lower, upper)
-    )
+    u = lsel.unionByName(rsel)
+
+    if hot_threshold is None:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(ord_col).asc())
+            .rangeBetween(lower, upper)
+        )
+        m = u
+    else:
+        ordv = F.col(ord_col).cast("double")
+        width = F.greatest(
+            (F.col("_hot_hi") - F.col("_hot_lo"))
+            / F.ceil(F.col("_hot_n") / F.lit(hot_threshold)),
+            F.lit(float(upper - lower)),
+            F.lit(1e-9),
+        )
+        stats = (
+            u.groupBy(on)
+            .agg(F.count(F.lit(1)).alias("_hot_n"),
+                 F.min(ordv).alias("_hot_lo"),
+                 F.max(ordv).alias("_hot_hi"))
+            .where(F.col("_hot_n") >= hot_threshold)
+            .select(
+                F.col(on), F.col("_hot_lo"), width.alias("_hot_w"),
+                (F.floor((F.col("_hot_hi") - F.col("_hot_lo")) / width)
+                 + 1).alias("_hot_nb"),
+            )
+        )
+        u = u.join(F.broadcast(stats), on=on, how="left")
+        b_of = lambda o: F.floor((o - F.col("_hot_lo")) / F.col("_hot_w"))  # noqa: E731
+        b_left = F.least(b_of(ordv), F.col("_hot_nb") - 1)
+        # right replica span: left rows needing ord r sit in
+        # [r-upper, r-lower], i.e. buckets b(r-upper)..b(r-lower)
+        # (≤ 2 apart given the width floor), clamped to the key's
+        # bucket range; an inverted clamp (right row beyond every
+        # left bucket) yields an empty sequence and explode drops the
+        # replica entirely
+        b_min = F.greatest(b_of(ordv - F.lit(float(upper))), F.lit(0).cast("long"))
+        b_max = F.least(b_of(ordv - F.lit(float(lower))), F.col("_hot_nb") - 1)
+        buckets = (
+            F.when(F.col("_hot_nb").isNull(), F.array(F.lit(0).cast("long")))
+            .when(F.col("_side") == 1, F.array(b_left))
+            .when(b_min <= b_max, F.sequence(b_min, b_max))
+            .otherwise(F.array().cast("array<long>"))
+        )
+        m = u.withColumn("_bkt", F.explode(buckets))
+        w = (
+            Window.partitionBy(on, "_bkt")
+            .orderBy(F.col(ord_col).asc())
+            .rangeBetween(lower, upper)
+        )
+
     m = (
-        lsel.unionByName(rsel)
-        .withColumn(
+        m.withColumn(
             "n_in_range",
             F.count(F.when(F.col("_side") == 0, F.lit(1))).over(w),
         )

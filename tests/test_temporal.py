@@ -195,6 +195,17 @@ def test_range_agg_brute_force_and_boundaries(spark):
     assert got[3]["n_in_range"] == 0          # window [80, 89]: empty
     assert got[3]["sum_in_range"] is None
 
+    # the skew-safe path (threshold=2: both users hot, several ord
+    # buckets, right rows replicated across bucket boundaries) must
+    # reproduce the same boundary-exact results
+    got_hot = {
+        row["event_id"]: row.asDict()
+        for row in range_agg(l, r, on="user_id", ord_col="ts_us",
+                             lower=-10, upper=-1,
+                             hot_threshold=2).collect()
+    }
+    assert got_hot == got
+
 
 def test_range_agg_join_free_plan(spark):
     from tabular_data_semantics_py_spark.operators.temporal import range_agg
@@ -387,26 +398,32 @@ def test_asof_and_range_randomized_stress(spark):
             assert trip == (match if match else (None, None, None)), \
                 (th, eid, trip, match)
 
-    # --- range_agg vs brute, window [ts-5, ts-1] ---
-    got2 = {
-        row["event_id"]: row
-        for row in range_agg(
-            l.where(F.col("ts").isNotNull()),
-            r.where(F.col("ts").isNotNull()),
-            on="user_id", ord_col="ts", lower=-5, upper=-1,
-        ).collect()
-    }
-    for eid, uid, ts, _v in left:
-        if ts is None:
-            continue
-        hits = [rv for (reid, ruid, rts, rv) in right
-                if ruid == uid and rts is not None
-                and ts - 5 <= rts <= ts - 1]
-        g = got2[eid]
-        assert g["n_in_range"] == len(hits), (eid, g)
-        if hits:
-            from decimal import Decimal
-            exp_sum = float(sum(Decimal(str(v)) for v in hits))
-            assert g["sum_in_range"] == exp_sum, (eid, g, exp_sum)
-        else:
-            assert g["sum_in_range"] is None, (eid, g)
+    # --- range_agg vs brute, window [ts-5, ts-1], legacy + skew-safe
+    # (threshold=5 ≈ every user hot, ~6 one-tick buckets over the
+    # 30-tick range — the width floor forces bucket ≥ frame width, so
+    # nearly every right row replicates into 2 buckets and bucket
+    # boundaries land on colliding timestamps) ---
+    for th in (None, 5, 2000):
+        got2 = {
+            row["event_id"]: row
+            for row in range_agg(
+                l.where(F.col("ts").isNotNull()),
+                r.where(F.col("ts").isNotNull()),
+                on="user_id", ord_col="ts", lower=-5, upper=-1,
+                hot_threshold=th,
+            ).collect()
+        }
+        for eid, uid, ts, _v in left:
+            if ts is None:
+                continue
+            hits = [rv for (reid, ruid, rts, rv) in right
+                    if ruid == uid and rts is not None
+                    and ts - 5 <= rts <= ts - 1]
+            g = got2[eid]
+            assert g["n_in_range"] == len(hits), (th, eid, g)
+            if hits:
+                from decimal import Decimal
+                exp_sum = float(sum(Decimal(str(v)) for v in hits))
+                assert g["sum_in_range"] == exp_sum, (th, eid, g, exp_sum)
+            else:
+                assert g["sum_in_range"] is None, (th, eid, g)
