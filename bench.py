@@ -492,6 +492,61 @@ def run_range_skew(spark, n_rows: int = 2_000_000, n_users: int = 10_000,
     return out
 
 
+def run_sessions_skew(spark, n_rows: int = 2_000_000,
+                      n_users: int = 10_000,
+                      hot_threshold: int = 62_500):
+    """Hot-key skew evidence for sessionize — the third operator on
+    the one-partition-per-key window bound, and the third application
+    of the bucket-split device (local per-bucket sessions, boundary
+    fragments chained in a tiny pass-2). Same event shape and
+    4-variant interleaved grid as the asof/range pairs; gap = 1000
+    over scattered-mod-1e9 ordinals (~0.1% merge probability — real
+    fragment chaining without degenerate one-session keys). The
+    default threshold follows the rows/shuffle-width rule (2M/32):
+    hot buckets sized like everyone else's partitions — the natural
+    sizing at any scale (measured dev ratio 0.88-1.48 across
+    thresholds vs legacy 1.9-2.8). Returns {"uniform", "skew",
+    "uniform_legacy", "skew_legacy"}."""
+    from pyspark.sql import functions as F
+
+    from tabular_data_semantics_py_spark.operators.temporal import (
+        sessionize,
+    )
+
+    def build(skew: bool):
+        ids = spark.range(n_rows)
+        user = F.col("id") % n_users
+        if skew:
+            user = F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(user)
+        return ids.select(
+            user.alias("user_id"),
+            (F.col("id") * 7919 % 1_000_000_000).alias("ts_us"),
+            (F.col("id") % 1000 / F.lit(10.0)).alias("value"),
+        ).localCheckpoint()
+
+    def run(df, th):
+        s = sessionize(df, on="user_id", ord_col="ts_us", gap=1000,
+                       hot_threshold=th)
+        s.agg(F.count(F.lit(1)), F.sum("n_events"),
+              F.sum("total_dec")).collect()
+
+    variants = [("uniform", False, hot_threshold),
+                ("skew", True, hot_threshold),
+                ("uniform_legacy", False, None),
+                ("skew_legacy", True, None)]
+    for _name, skew, th in variants:
+        run(build(skew).limit(1000), th)
+    out = {name: float("inf") for name, _, _ in variants}
+    for _rep in range(2):
+        for name, skew, th in variants:
+            df = build(skew)
+            _gc(spark)
+            t0 = time.time()
+            run(df, th)
+            out[name] = min(out[name], time.time() - t0)
+    return out
+
+
 def run_components_scale(spark, n: int = 1_000_000, path: bool = False):
     """Scale/skew evidence for connected_components (the
     canonicalization primitive behind kg_canonical_ids and
@@ -645,6 +700,12 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
     timings["range_uniform_legacy"] = round(rng["uniform_legacy"], 3)
     timings["range_skew_legacy"] = round(rng["skew_legacy"], 3)
 
+    ses = run_sessions_skew(spark)
+    timings["sessions_uniform"] = round(ses["uniform"], 3)
+    timings["sessions_skew"] = round(ses["skew"], 3)
+    timings["sessions_uniform_legacy"] = round(ses["uniform_legacy"], 3)
+    timings["sessions_skew_legacy"] = round(ses["skew_legacy"], 3)
+
     comp = run_components_scale(spark)
     timings["components_star_1m"] = comp["star_sec"]
 
@@ -668,6 +729,10 @@ def run_bench(sf_dir: str, master: str, shuffle: int | None = None) -> dict:
         "range_skew_ratio": round(rng["skew"] / rng["uniform"], 3),
         "range_skew_legacy_ratio": round(
             rng["skew_legacy"] / rng["uniform_legacy"], 3
+        ),
+        "sessions_skew_ratio": round(ses["skew"] / ses["uniform"], 3),
+        "sessions_skew_legacy_ratio": round(
+            ses["skew_legacy"] / ses["uniform_legacy"], 3
         ),
         "components_star_rounds": comp["star_rounds"],
     }

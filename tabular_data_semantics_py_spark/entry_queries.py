@@ -1647,6 +1647,57 @@ def events_sessions_native(spark, sf_dir):
 
 
 @q(
+    "events_sessions_hot",
+    lambda: """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS start_us,
+       epoch_us(MAX(ts)) + 1800000000 AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def events_sessions_hot(spark, sf_dir):
+    """The SKEW-SAFE sessionization path (operators/temporal.
+    sessionize with hot_threshold) — the third application of the
+    bucket-split device: local per-bucket sessionization, interior
+    sessions final, boundary fragments chained by a tiny per-key
+    second pass. threshold=16 at sf0.01 makes every user hot with
+    4-5 buckets, so session fragments genuinely chain across bucket
+    boundaries. Same gaps-and-islands oracle as
+    events_sessions_native (the device must be semantics-invisible;
+    window end = last event + gap, inclusive `> gap` merge rule)."""
+    from .operators.temporal import sessionize
+
+    e = _load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    s = sessionize(
+        e.select("user_id", _ntz_epoch_us("ts").alias("ts_us"), "value"),
+        on="user_id", ord_col="ts_us", gap=1_800_000_000,
+        hot_threshold=16,
+    )
+    return s.select(
+        "user_id",
+        F.col("session_start").alias("start_us"),
+        (F.col("session_end") + F.lit(1_800_000_000)).alias("end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_dec").cast("double").alias("total_value"),
+    )
+
+
+@q(
     "events_sessions",
     lambda: """
 WITH gaps AS (

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 _RESERVED = (
     "_side", "_tb", "_p", "_m", "_v", "_bkt", "_mx", "_carry",
     "_hot_n", "_hot_lo", "_hot_hi", "_hot_nb", "_hot_w",
+    "_o", "_is_start", "_sid", "_mnsid", "_mxsid", "_gid",
     "n_in_range", "sum_in_range",
 )
 
@@ -369,6 +370,151 @@ def range_agg(left: DataFrame, right: DataFrame, on: str, ord_col: str,
     return m.where(F.col("_side") == 1).select(
         *left.columns, "n_in_range", "sum_in_range"
     )
+
+
+def sessionize(events: DataFrame, on: str, ord_col: str, gap: int,
+               value_col: str = "value",
+               hot_threshold: int | None = None) -> DataFrame:
+    """→ one row per session: ``(on, session_start, session_end,
+    n_events, total_dec)`` — gap-based sessionization (a new session
+    starts when the ordinal advances by MORE than ``gap``; ties and
+    exact-gap events merge, the same inclusive rule as Spark's
+    ``session_window`` and the streaming sessionizer).
+    ``session_end`` is the last event's ordinal (callers add the gap
+    for window-style ends); ``total_dec`` is the decimal(18,2) value
+    sum (exact, order-independent — cast at the edge). ``ord_col``
+    must be numeric and non-NULL (filter first), as in ``range_agg``.
+
+    Legacy shape: the classic gaps-and-islands pair of windows
+    (lag → is-start flags → running-sum session ids) on a single
+    shuffle, then a co-partitioned aggregate — and the same
+    one-fat-task hot-key bound as ``asof_join``.
+
+    ``hot_threshold`` enables the SKEW-SAFE form, the third
+    application of the bucket-split device: hot keys are salted by
+    per-key equal-width ord-range buckets and sessionized LOCALLY per
+    bucket. A true session crossing a bucket boundary can only
+    surface as a bucket's FIRST or LAST local session (its fragments
+    hug the bucket edges), so interior local sessions are final
+    as-is, and only the ≤ 2 boundary sessions per (key, bucket) —
+    ≤ 2N/threshold rows total — enter a second, tiny gaps-and-islands
+    pass per key that chains fragments across buckets (a bucket
+    spanned entirely by one session is both first and last and chains
+    through). Same-bucket first/last can never merge in pass 2: they
+    are distinct local sessions, so > gap apart by construction.
+    Aggregates merge losslessly (count/decimal sums, min/max
+    bounds). Cold keys keep bucket 0 and the legacy path's exact
+    behavior through the identical code."""
+    clash = [c for c in events.columns if c in _RESERVED]
+    if clash:
+        raise ValueError(
+            f"sessionize reserves internal column names {clash}; "
+            "rename them on the input frame"
+        )
+    e = events.select(
+        F.col(on), F.col(ord_col).alias("_o"),
+        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+    )
+
+    if hot_threshold is None:
+        e = e.withColumn("_bkt", F.lit(0).cast("long"))
+    else:
+        ordv = F.col("_o").cast("double")
+        stats = (
+            e.groupBy(on)
+            .agg(F.count(F.lit(1)).alias("_hot_n"),
+                 F.min(ordv).alias("_hot_lo"),
+                 F.max(ordv).alias("_hot_hi"))
+            .where(F.col("_hot_n") >= hot_threshold)
+            .select(
+                F.col(on), F.col("_hot_lo"),
+                F.ceil(F.col("_hot_n") / F.lit(hot_threshold))
+                .alias("_hot_nb"),
+                F.greatest(
+                    (F.col("_hot_hi") - F.col("_hot_lo"))
+                    / F.ceil(F.col("_hot_n") / F.lit(hot_threshold)),
+                    F.lit(1e-9),
+                ).alias("_hot_w"),
+            )
+        )
+        e = e.join(F.broadcast(stats), on=on, how="left").withColumn(
+            "_bkt",
+            F.when(F.col("_hot_nb").isNull(), F.lit(0).cast("long"))
+            .otherwise(F.least(
+                F.floor((ordv - F.col("_hot_lo")) / F.col("_hot_w")),
+                F.col("_hot_nb") - 1,
+            )),
+        )
+
+    # local sessionization per (key, bucket): ONE window sort carries
+    # both frames (the lag offset and the running session-id sum)
+    wl = Window.partitionBy(on, "_bkt").orderBy(F.col("_o").asc())
+    prev = F.lag("_o").over(wl)
+    sess = (
+        e.withColumn(
+            "_is_start",
+            F.when(prev.isNull() | ((F.col("_o") - prev) > gap),
+                   F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_sid",
+            F.sum("_is_start").over(
+                wl.rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow)
+            ),
+        )
+        # co-partitioned with the window (subset grouping keys): no
+        # new Exchange
+        .groupBy(on, "_bkt", "_sid")
+        .agg(F.min("_o").alias("session_start"),
+             F.max("_o").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.sum("_v").alias("total_dec"))
+    )
+
+    if hot_threshold is None:
+        return sess.select(on, "session_start", "session_end",
+                           "n_events", "total_dec")
+
+    wb = Window.partitionBy(on, "_bkt")
+    sess = (
+        sess.withColumn("_mnsid", F.min("_sid").over(wb))
+        .withColumn("_mxsid", F.max("_sid").over(wb))
+    )
+    interior = sess.where(
+        (F.col("_sid") != F.col("_mnsid"))
+        & (F.col("_sid") != F.col("_mxsid"))
+    )
+    boundary = sess.where(
+        (F.col("_sid") == F.col("_mnsid"))
+        | (F.col("_sid") == F.col("_mxsid"))
+    )
+    # pass 2 over boundary sessions only: per key, ordered by start
+    # (bucket ranges are disjoint in ord, so starts AND ends are
+    # nondecreasing), chain fragments whose gap is within the session
+    # gap. Frame size ≤ 2 per (key, bucket).
+    w2 = Window.partitionBy(on).orderBy("session_start", "_bkt", "_sid")
+    prev_end = F.lag("session_end").over(w2)
+    merged = (
+        boundary.withColumn(
+            "_gid",
+            F.sum(
+                F.when(
+                    prev_end.isNull()
+                    | ((F.col("session_start") - prev_end) > gap),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).over(w2.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)),
+        )
+        .groupBy(on, "_gid")
+        .agg(F.min("session_start").alias("session_start"),
+             F.max("session_end").alias("session_end"),
+             F.sum("n_events").alias("n_events"),
+             F.sum("total_dec").alias("total_dec"))
+    )
+    cols = [on, "session_start", "session_end", "n_events", "total_dec"]
+    return interior.select(*cols).unionByName(merged.select(*cols))
 
 
 def cascade_rollup(events: DataFrame, ts_col: str = "ts",

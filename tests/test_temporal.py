@@ -275,6 +275,56 @@ def test_cascade_rollup_lossless(spark):
     assert got[("2024-01-01", "b")] == (2, 1000000000.01)
 
 
+def test_sessionize_brute_force_all_paths(spark):
+    """sessionize (operators/temporal.py) vs a scalar gaps-and-islands
+    reference, dense ties (2k events, 8 users, 200 ticks, gap 5) —
+    legacy path and the bucket-split skew-safe path across thresholds
+    (3 ≈ 84 buckets/user: boundary fragments chain constantly; 9999 =
+    the no-hot-keys degenerate arm). Exact set equality including the
+    decimal value sums."""
+    import random
+    from decimal import Decimal
+
+    from tabular_data_semantics_py_spark.operators.temporal import (
+        sessionize,
+    )
+
+    GAP = 5
+    rng = random.Random(20260820)
+    rows = [(i, rng.randrange(8), rng.randrange(200),
+             round(rng.random() * 10, 2)) for i in range(2000)]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double"
+    )
+
+    by: dict = {}
+    for _i, u, t, v in rows:
+        by.setdefault(u, []).append((t, v))
+    exp = set()
+    for u, evs in by.items():
+        evs.sort()
+        cur = None
+        for t, v in evs:
+            if cur is None or t - cur[1] > GAP:
+                if cur:
+                    exp.add((u, cur[0], cur[1], cur[2], float(cur[3])))
+                cur = [t, t, 0, Decimal("0")]
+            cur[1] = t
+            cur[2] += 1
+            cur[3] += Decimal(str(v))
+        if cur:
+            exp.add((u, cur[0], cur[1], cur[2], float(cur[3])))
+
+    for th in (None, 3, 40, 9999):
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"], float(r["total_dec"]))
+            for r in sessionize(e, on="user_id", ord_col="ts", gap=GAP,
+                                hot_threshold=th).collect()
+        }
+        assert got == exp, (th, list(got - exp)[:3], list(exp - got)[:3])
+
+
 def test_events_temporal_queries_tz_free(spark):
     """events_asof / events_range_count results must not depend on
     the driver session time zone (the NTZ-diff epoch device; a
