@@ -1,6 +1,14 @@
-"""As-of join — "for each left row, the most recent right row at or
-before its timestamp, per key" — re-expressed for Spark, which has no
-native ASOF JOIN.
+"""Temporal operators Spark lacks, re-expressed as single-shuffle
+window plans: as-of join, trailing range join, gap sessionization,
+and the hypertable rollup cascade. Each per-key window operator takes
+``hot_threshold`` to switch on the shared skew device — per-key
+time-range bucket salting with an exact, operator-specific
+cross-bucket completion (carry patch / bounded replication / fragment
+chaining) — so no task ever sorts more than ~threshold rows of one
+key.
+
+The as-of join: "for each left row, the most recent right row at or
+before its timestamp, per key" — Spark has no native ASOF JOIN.
 
 The scalable shape is a tagged union + one window pass: both sides
 shuffle ONCE on the join key, each partition sorts by (ts, side), and
@@ -28,10 +36,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# internal column names minted by asof_join / range_agg; a caller
-# frame that already carries one of these would silently collide with
-# the tagged-union bookkeeping, so both operators assert they are
-# absent up front (fail loud, not wrong)
+# internal column names minted by asof_join / range_agg / sessionize;
+# a caller frame that already carries one of these would silently
+# collide with the tagged-union / bucket bookkeeping, so every
+# operator asserts they are absent up front (fail loud, not wrong)
 _RESERVED = (
     "_side", "_tb", "_p", "_m", "_v", "_bkt", "_mx", "_carry",
     "_hot_n", "_hot_lo", "_hot_hi", "_hot_nb", "_hot_w",
@@ -44,8 +52,8 @@ def _assert_no_reserved(left: DataFrame, right: DataFrame) -> None:
     clash = [c for c in (*left.columns, *right.columns) if c in _RESERVED]
     if clash:
         raise ValueError(
-            f"asof_join/range_agg reserve internal column names {clash}; "
-            "rename them on the input frames"
+            f"the temporal operators reserve internal column names "
+            f"{clash}; rename them on the input frames"
         )
 
 
