@@ -382,7 +382,8 @@ def range_agg(left: DataFrame, right: DataFrame, on: str, ord_col: str,
 
 def sessionize(events: DataFrame, on: str, ord_col: str, gap: int,
                value_col: str = "value",
-               hot_threshold: int | None = None) -> DataFrame:
+               hot_threshold: int | None = None,
+               barrier: bool = True) -> DataFrame:
     """→ one row per session: ``(on, session_start, session_end,
     n_events, total_dec)`` — gap-based sessionization (a new session
     starts when the ordinal advances by MORE than ``gap``; ties and
@@ -489,6 +490,19 @@ def sessionize(events: DataFrame, on: str, ord_col: str, gap: int,
         sess.withColumn("_mnsid", F.min("_sid").over(wb))
         .withColumn("_mxsid", F.max("_sid").over(wb))
     )
+    # the interior/boundary split consumes this frame twice (two
+    # union branches); without a barrier the whole scan + bucket join
+    # + local-session window would COMPUTE twice (plan-audited:
+    # docs/explain_temporal_hot.txt shows the duplicated subtree in
+    # the barrier=False plan). A lazy localCheckpoint materializes
+    # the session frame once on first action and both branches read
+    # it — the space-for-compute trade is bounded by the session
+    # count (≤ events, usually ≪), and MEMORY_AND_DISK spills rather
+    # than OOMs at scale. ``barrier=False`` keeps the fully lazy
+    # (double-computing) plan — used by the plan-capture script,
+    # whose explain would otherwise truncate at the checkpoint scan.
+    if barrier:
+        sess = sess.localCheckpoint(eager=False)
     interior = sess.where(
         (F.col("_sid") != F.col("_mnsid"))
         & (F.col("_sid") != F.col("_mxsid"))
