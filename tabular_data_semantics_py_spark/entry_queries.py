@@ -1413,6 +1413,33 @@ def events_rollup_daily(spark, sf_dir):
 
 
 @q(
+    "events_rollup_monthly",
+    lambda: """
+SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def events_rollup_monthly(spark, sf_dir):
+    """The rollup cascade extended one level: monthly aggregated FROM
+    THE DAILY level's retained decimal sums (raw → hourly → daily →
+    monthly, each level re-aggregating the previous one's partials) —
+    the oracle computes monthly straight from raw events, so an exact
+    match proves the TWO-step re-aggregation chain lossless, not just
+    one hop."""
+    from .operators.temporal import cascade_rollup
+
+    _, _, monthly = cascade_rollup(_load(spark, sf_dir, "events"),
+                                   with_monthly=True)
+    return monthly.select(
+        "month", "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "total_value",
+    )
+
+
+@q(
     "events_asof",
     lambda: """
 WITH v AS (

@@ -541,7 +541,8 @@ def sessionize(events: DataFrame, on: str, ord_col: str, gap: int,
 
 def cascade_rollup(events: DataFrame, ts_col: str = "ts",
                    key_cols: list[str] | None = None,
-                   value_col: str = "value") -> tuple[DataFrame, DataFrame]:
+                   value_col: str = "value",
+                   with_monthly: bool = False):
     """→ (hourly, daily): the hypertable / continuous-aggregate
     rollup cascade — hourly buckets aggregated from raw events, daily
     buckets aggregated FROM THE HOURLY LEVEL (sum-of-counts,
@@ -561,7 +562,14 @@ def cascade_rollup(events: DataFrame, ts_col: str = "ts",
     from the raw table.
 
     hourly: (bucket_ts, *keys, n_events, sum_dec); daily:
-    (day string, *keys, n_events, total_value double).
+    (day string, *keys, n_events, sum_dec, total_value double).
+    ``with_monthly=True`` extends the cascade one more level —
+    monthly aggregated FROM THE DAILY level's retained decimal sums
+    (never from raw, never from the lossy double) — and returns
+    (hourly, daily, monthly) with monthly:
+    (month string, *keys, n_events, total_value double). The
+    ``events_rollup_monthly`` oracle computes monthly straight from
+    raw, proving the two-step re-aggregation chain exact.
     """
     keys = key_cols if key_cols is not None else ["event_type"]
     hourly = (
@@ -581,7 +589,19 @@ def cascade_rollup(events: DataFrame, ts_col: str = "ts",
         )
         .agg(
             F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec"),
+        )
+        .withColumn("total_value", F.col("sum_dec").cast("double"))
+    )
+    if not with_monthly:
+        return hourly, daily
+    monthly = (
+        daily.groupBy(
+            F.substring(F.col("day"), 1, 7).alias("month"), *keys
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
             F.sum("sum_dec").cast("double").alias("total_value"),
         )
     )
-    return hourly, daily
+    return hourly, daily, monthly

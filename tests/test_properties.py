@@ -136,3 +136,87 @@ def test_vote_argmax_permutation_invariant(votes, rnd):
     shuffled = list(votes)
     rnd.shuffle(shuffled)
     assert winner(votes) == winner(shuffled)
+
+
+# ---------------------------------------------------------------------------
+# Hot-key bucket-split arithmetic (operators/temporal.py): the
+# no-missed-match coverage invariant under IEEE doubles. The Spark
+# window frames use EXACT integer arithmetic on the ord column while
+# the bucket salt uses double arithmetic — correctness rests on
+# bucket-map monotonicity plus one exact identity
+# (floor((hi-lo)/w) == nb-1 when nb is derived from the same
+# doubles). These mirror the operator's expressions 1:1 in Python
+# floats (= IEEE doubles) and let hypothesis hunt for a rounding
+# combination that breaks them.
+# ---------------------------------------------------------------------------
+
+def _mirror_range_buckets(ords, th, lower, upper):
+    """Python-float mirror of range_agg's hot-path bucket math."""
+    import math
+
+    n = len(ords)
+    lo, hi = float(min(ords)), float(max(ords))
+    nb0 = math.ceil(n / th)
+    w = max((hi - lo) / nb0, float(upper - lower), 1e-9)
+    nb = math.floor((hi - lo) / w) + 1
+
+    def b_of(x):
+        return math.floor((x - lo) / w)
+
+    return nb, b_of
+
+
+ORDS = st.lists(
+    st.integers(min_value=-(2**52), max_value=2**52),
+    min_size=2, max_size=40,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ords=ORDS,
+    th=st.integers(min_value=1, max_value=8),
+    lower=st.integers(min_value=-(2**40), max_value=2**40),
+    span=st.integers(min_value=0, max_value=2**40),
+)
+def test_range_bucket_replica_span_covers_every_match(ords, th, lower, span):
+    upper = lower + span
+    nb, b_of = _mirror_range_buckets(ords, th, lower, upper)
+    for x in ords:
+        bx = b_of(float(x))
+        assert 0 <= bx <= nb - 1, (x, bx, nb)  # left rows never clamp
+    for l in ords:
+        for r in ords:
+            if not (l + lower <= r <= l + upper):
+                continue  # r outside l's frame: irrelevant
+            b_l = min(b_of(float(l)), nb - 1)
+            b_min = max(b_of(float(r) - float(upper)), 0)
+            b_max = min(b_of(float(r) - float(lower)), nb - 1)
+            assert b_min <= b_l <= b_max, (l, r, b_min, b_l, b_max)
+
+
+@settings(max_examples=300, deadline=None)
+@given(ords=ORDS, th=st.integers(min_value=1, max_value=8))
+def test_asof_bucket_map_monotone_and_bounded(ords, th):
+    """asof/sessionize bucket salt: equal ords share a bucket, the
+    map is non-decreasing (so a match can only precede or share the
+    left row's bucket — exactly what the carry patch assumes), and
+    every bucket id lands in [0, nb-1]."""
+    import math
+
+    n = len(ords)
+    lo, hi = float(min(ords)), float(max(ords))
+    nb0 = math.ceil(n / th)
+    w = max((hi - lo) / nb0, 1e-9)
+    nb = nb0
+
+    def b(x):
+        return min(math.floor((float(x) - lo) / w), nb - 1)
+
+    s = sorted(ords)
+    for a, c in zip(s, s[1:]):
+        assert b(a) <= b(c), (a, c)
+        if a == c:
+            assert b(a) == b(c)
+    for x in ords:
+        assert 0 <= b(x) <= nb - 1, (x, b(x), nb)
