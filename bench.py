@@ -623,8 +623,12 @@ BENCH_QUERIES = [
     "events_sessions",
     "events_sessions_native",
     "events_asof",
+    "events_asof_hot",
     "events_range_count",
+    "events_range_hot",
+    "events_sessions_hot",
     "events_rollup_daily",
+    "events_rollup_monthly",
     "doc_dedup_exact",
     "doc_token_stats",
     "doc_quality",
