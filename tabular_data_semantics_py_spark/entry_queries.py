@@ -130,13 +130,54 @@ def q(name: str, oracle: Callable[[], str] | None = None):
 
 _LAST_SF_DIR: list[str] = []
 
+# parquet-footer probe memo: (path, mtime) → effective scan-split
+# count. Metadata only — never rows or results.
+_RG_MEMO: dict[tuple[str, float], int] = {}
 
-def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+
+def _effective_splits(path: str) -> int:
+    """How many NON-EMPTY tasks a Spark scan of this parquet file can
+    produce. Spark splits files by byte ranges, but a parquet row
+    group is assigned to the one split holding its midpoint — a file
+    with a single giant row group therefore collapses to ONE non-empty
+    split no matter what maxPartitionBytes says, and every operator
+    fused above the scan runs single-task (guide §2.5 input skew).
+    Driver-side footer read, memoized on (path, mtime)."""
+    try:
+        key = (path, os.path.getmtime(path))
+        if key not in _RG_MEMO:
+            import pyarrow.parquet as pq
+
+            _RG_MEMO[key] = pq.ParquetFile(path).metadata.num_row_groups
+        return _RG_MEMO[key]
+    except Exception:
+        return 1 << 30  # unknown layout: assume healthy, never shuffle
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str,
+          rebalance: bool = False) -> DataFrame:
     # Record the sf the driver actually drove so scalar-recomputation
     # oracles (minhash signatures, simhash) rebuild over the SAME
     # table — the contract gives oracle_sql() no sf argument.
     _LAST_SF_DIR[:] = [sf_dir]
-    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    df = spark.read.parquet(path)
+    if rebalance:
+        # Unsplittable-input remediation (guide §2.5: "one huge
+        # unsplittable file — repartition immediately after the
+        # read"), requested only by queries whose pre-shuffle map work
+        # dominates (gram explodes, GEMM/UDF passes, per-pair folds).
+        # The footer probe makes it a NO-OP on healthy layouts: a
+        # 100 TB table has thousands of row groups and never pays the
+        # extra exchange; only a row-group-starved file (the testdata
+        # writes one row group per table) is spread. Width = the
+        # session's shuffle width (scale-adaptive, not a core-count
+        # constant). Row order is irrelevant to every registered
+        # query (set-compared against the oracle).
+        width = spark.sparkContext.defaultParallelism
+        if _effective_splits(path) < max(width // 4, 2):
+            df = df.repartition(width)
+    return df
 
 
 def _oracle_sf_dir() -> str:
@@ -1819,7 +1860,8 @@ def doc_minhash_lsh(spark, sf_dir):
     from .operators.dedup import minhash_lsh_pairs
 
     d = minhash_lsh_pairs(
-        _load(spark, sf_dir, "documents"), 0.9, n_hashes=16, rows_per_band=1
+        _load(spark, sf_dir, "documents", rebalance=True),
+        0.9, n_hashes=16, rows_per_band=1
     )
     return d.select(
         "i", "j", F.col("inter").cast("long").alias("inter"),
@@ -1871,7 +1913,7 @@ def doc_neardup_canonical(spark, sf_dir):
     verified pairs at sf0.1) lives in the operator's docstring."""
     from .operators.dedup import near_dup_canonicalize
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", rebalance=True)
     return near_dup_canonicalize(docs, 0.9, n_hashes=16, rows_per_band=1)
 
 
@@ -2025,7 +2067,7 @@ def emb_knn(spark, sf_dir):
     from .operators.similarity import knn_bruteforce
 
     return knn_bruteforce(
-        _load(spark, sf_dir, "embeddings"), list(range(20)), k=3
+        _load(spark, sf_dir, "embeddings", rebalance=True), list(range(20)), k=3
     )
 
 
@@ -2044,7 +2086,9 @@ def emb_cosine_pairs_fast(spark, sf_dir):
     interpreted expression evaluation."""
     from .operators.similarity import cosine_pairs_blocked
 
-    return cosine_pairs_blocked(_load(spark, sf_dir, "embeddings"), 0.4)
+    return cosine_pairs_blocked(
+        _load(spark, sf_dir, "embeddings", rebalance=True), 0.4
+    )
 
 
 def _o_curation():
@@ -2114,7 +2158,7 @@ def doc_curation(spark, sf_dir):
     the dedup key."""
     from .functions.text import lang_id, quality_features
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _load(spark, sf_dir, "documents", rebalance=True)
     d = docs.withColumn("text_sha", F.sha2(F.col("text"), 256))
     canon = d.groupBy("text_sha").agg(F.min("doc_id").alias("doc_id"))
     surv = d.join(canon, ["text_sha", "doc_id"], "left_semi")
@@ -2327,7 +2371,7 @@ def doc_minhash_lsh_shingle(spark, sf_dir):
     from .operators.dedup import minhash_lsh_pairs
 
     d = minhash_lsh_pairs(
-        _load(spark, sf_dir, "documents"), 0.8,
+        _load(spark, sf_dir, "documents", rebalance=True), 0.8,
         n_hashes=16, rows_per_band=1, ngram=3,
     )
     return d.select(
@@ -2376,7 +2420,9 @@ def doc_minhash_signatures(spark, sf_dir):
     (functions/xxh64.py) over the sf0.01 table."""
     from .operators.dedup import minhash_signatures
 
-    return minhash_signatures(_load(spark, sf_dir, "documents"), n_hashes=8)
+    return minhash_signatures(
+        _load(spark, sf_dir, "documents", rebalance=True), n_hashes=8
+    )
 
 
 def _simhash_scalar_table():
@@ -2456,7 +2502,7 @@ def doc_simhash(spark, sf_dir):
     no_oracle row."""
     from .operators.dedup import simhash64
 
-    return simhash64(_load(spark, sf_dir, "documents"))
+    return simhash64(_load(spark, sf_dir, "documents", rebalance=True))
 
 
 @q("doc_simhash_pairs", _o_simhash_pairs)
@@ -2467,7 +2513,9 @@ def doc_simhash_pairs(spark, sf_dir):
     independently recomputed fingerprints."""
     from .operators.dedup import simhash_pairs
 
-    return simhash_pairs(_load(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_pairs(
+        _load(spark, sf_dir, "documents", rebalance=True), max_hamming=3
+    )
 
 
 _MEDIA_META_SQL = """
@@ -2506,7 +2554,8 @@ def media_meta(spark, sf_dir):
     # independent (decode='auto' would NULL the dims wherever PIL
     # happens to be installed, since PIL can't open fake payloads)
     return extract_media_meta(
-        synth_media(_load(spark, sf_dir, "documents")), decode="stub"
+        synth_media(_load(spark, sf_dir, "documents", rebalance=True)),
+        decode="stub"
     )
 
 
@@ -2724,7 +2773,7 @@ def doc_contamination(spark, sf_dir):
     from .operators.curation import contamination
 
     return contamination(
-        _load(spark, sf_dir, "documents"), n=4, bench_mod=53
+        _load(spark, sf_dir, "documents", rebalance=True), n=4, bench_mod=53
     ).select("doc_id", F.col("n_overlap").cast("long").alias("n_overlap"))
 
 
@@ -2964,7 +3013,8 @@ def emb_ivf_knn(spark, sf_dir):
     from .operators.similarity import ivf_knn
 
     return ivf_knn(
-        _load(spark, sf_dir, "embeddings"), spark, list(range(20)), k=3
+        _load(spark, sf_dir, "embeddings", rebalance=True),
+        spark, list(range(20)), k=3
     )
 
 

@@ -45,20 +45,35 @@ def ngram_array(text_col, n: int):
     tokens identically in Spark and the DuckDB ``string_split``
     oracle). Degenerate inputs: NULL text or fewer than ``n`` tokens
     → empty array (the oracle's LEFT-JOIN/COALESCE shape). Pure
-    codegen: sequence + slice + array_join.
+    codegen: ``arrays_zip`` over ``n`` shifted k-length slices +
+    ``concat_ws`` — O(T·n) per doc. (The previous
+    ``transform(sequence(1, k), i -> array_join(slice(toks, i, n)))``
+    form is O(T²): ``slice`` with a non-literal start re-copies per
+    element — the same trap ``dedup.word_sets`` documents; measured
+    ~16× slower on the sf1 gram explode. Gram values are identical:
+    element i of the zip is (toks[i..i+n-1]) with every slice exactly
+    k long — no NULL padding — and ``concat_ws(' ', …)`` over
+    non-NULL tokens equals ``array_join(…, ' ')``.)
     """
     toks = F.split(text_col, " ")
     k = F.size(toks) - F.lit(n - 1)
+    if n == 1:
+        # 1-gram of a token is the token itself
+        base = toks
+    else:
+        z = F.arrays_zip(
+            *[F.slice(toks, 1 + i, k).alias(f"t{i}") for i in range(n)]
+        )
+        base = F.transform(
+            z, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)])
+        )
     # NULL text: size(NULL) is NULL (ANSI) → the when-guard falls to
-    # the empty-array branch; k <= 0 likewise (sequence(1, k<=0)
-    # would descend, never evaluated)
-    return F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    # the empty-array branch; k <= 0 likewise (slice with a
+    # non-positive length would raise, but the untaken branch is
+    # never evaluated)
+    return F.when(k >= 1, base).otherwise(
+        F.expr("CAST(array() AS ARRAY<STRING>)")
+    )
 
 
 def hot_ngrams(docs: DataFrame, n: int = 3, min_df: int = 5,

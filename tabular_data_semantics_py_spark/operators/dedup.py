@@ -270,6 +270,7 @@ def band_candidate_pairs(
     band_rows: DataFrame,
     max_bucket_size: int | None = None,
     carry: tuple[str, ...] = (),
+    dedup: bool = True,
 ) -> DataFrame:
     """The LSH banding tail shared by every bucketed similarity family
     (MinHash word sets, SimHash Hamming blocks, SRP embedding
@@ -282,7 +283,14 @@ def band_candidate_pairs(
     hot-bucket guard — buckets with more members are skipped, bounding
     candidate fan-out to O(bands · members) under massive duplicate
     clusters; a pair is missed only if EVERY bucket containing both
-    docs is hot. → (i, j [, carry_i…, carry_j…]), one row per pair."""
+    docs is hot. → (i, j [, carry_i…, carry_j…]), one row per pair.
+
+    ``dedup=False`` skips the cross-band dropDuplicates and returns
+    one row per (pair, shared bucket) — for callers whose per-pair
+    verify is CHEAPER than shuffling the whole candidate set for the
+    dedup (e.g. a one-fold cosine): filter first, then dedup the tiny
+    survivor set (filter-then-dedup ≡ dedup-then-filter because the
+    verify is a function of the pair alone)."""
     if max_bucket_size is not None:
         band_rows = drop_hot_keys(band_rows, ["band", "bucket"],
                                   max_bucket_size)
@@ -296,7 +304,7 @@ def band_candidate_pairs(
         *[F.col(c).alias(f"{c}_j") for c in carry],
         "band", "bucket",
     )
-    return (
+    out = (
         l.join(r, ["band", "bucket"])
         .where(F.col("i") < F.col("j"))
         .select(
@@ -304,8 +312,8 @@ def band_candidate_pairs(
             *[f"{c}_i" for c in carry],
             *[f"{c}_j" for c in carry],
         )
-        .dropDuplicates(["i", "j"])
     )
+    return out.dropDuplicates(["i", "j"]) if dedup else out
 
 
 def minhash_lsh_pairs(
@@ -338,6 +346,36 @@ def minhash_lsh_pairs(
     ``ws``: precomputed ``word_sets`` output (must be materialized by
     the caller) — lets a collapse stage restrict the corpus to
     duplicate-group representatives without re-tokenizing.
+
+    Scale shape (r6), both exactness-preserving:
+
+    - **Size prefilter before the expensive verify.** J(a, b) =
+      inter/uni ≤ min(|a|,|b|)/max(|a|,|b|) (inter ≤ min, uni ≥ max),
+      so any pair failing ``least(n_i, n_j) ≥ t·greatest(n_i, n_j)``
+      can never pass the threshold test — two int compares drop it
+      before the string-array ``array_intersect`` (and before the
+      cross-band dedup shuffle). Monotone in FP too: the same
+      ``t·x`` double product is used in both tests. Measured at sf1:
+      15.7M candidates → 5.0M intersections, verify 17.3 → 8.7 s.
+    - **Duplicate collapse, gated on measured duplication.** Docs
+      with identical word sets are grouped (injective sorted-set
+      key); the band join + verify run over one representative per
+      group and member pairs are expanded back by group equi-joins.
+      Provably identical output: the signature, every band bucket,
+      and J/inter/uni are all functions of the word SET alone — docs
+      in one group share all buckets with inter = uni = |set|, and a
+      cross-group pair passes iff its representative pair does, with
+      the same (inter, uni). A c-member boilerplate cluster (the
+      100 TB quadratic regime) then contributes ONE rep instead of c²
+      join rows per band + c²/2 verifications. The collapse itself
+      costs a key pass + expansion joins, which is pure overhead when
+      sets are mostly distinct (measured 2× slower on the sf1 shingle
+      corpus, 49.9k distinct sets / 50k docs), so a one-aggregate
+      gate picks the path from the measured duplication ratio — both
+      paths are exact, the gate only chooses cost. With a
+      ``max_bucket_size`` cap the per-doc banding always runs: bucket
+      hotness counts DOCS, so collapsing would change which buckets
+      are capped (a recall knob, not an exactness one).
     """
     # shingle once, share between the signature and verify paths (the
     # shingle transform + scan would otherwise run 3x)
@@ -351,41 +389,124 @@ def minhash_lsh_pairs(
         )
     if ws is None:
         ws = word_sets(docs, text_col, id_col, ngram).localCheckpoint()
-    sig = minhash_signatures(docs, n_hashes, text_col, id_col, ngram, ws=ws)
-    n_bands = n_hashes // rows_per_band
-    band_rows = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"mh_{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
+
+    def _core(ws_in, cap):
+        """Band join + size-prefiltered exact verify over a word-set
+        frame (the caller materializes it)."""
+        sig = minhash_signatures(docs, n_hashes, text_col, id_col,
+                                 ngram, ws=ws_in)
+        n_bands = n_hashes // rows_per_band
+        sizes = ws_in.select("id", F.size("words").alias("n"))
+        # one band-row materialization: the bucket self-join consumes
+        # both sides (the signature aggregate would otherwise compute
+        # twice — the plan-audited duplicated subtree); sizes ride
+        # along for the prefilter
+        band_rows = (
+            sig.join(sizes, "id")
+            .select(
+                "id", "n",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"),
+                                F.xxhash64(
+                                    *[
+                                        F.col(f"mh_{b * rows_per_band + r}")
+                                        for r in range(rows_per_band)
+                                    ]
+                                ).alias("bucket"),
+                            )
+                            for b in range(n_bands)
+                        ]
                     )
-                    for b in range(n_bands)
-                ]
+                ).alias("bb"),
             )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
-    cand = band_candidate_pairs(band_rows, max_bucket_size)
-    # exact verify on candidates only
-    wa = ws.select(F.col("id").alias("i"), F.col("words").alias("wi"))
-    wb = ws.select(F.col("id").alias("j"), F.col("words").alias("wj"))
-    return (
-        cand.join(wa, "i")
-        .join(wb, "j")
-        .withColumn("inter", F.size(F.array_intersect("wi", "wj")))
-        .withColumn(
-            "uni", F.size("wi") + F.size("wj") - F.col("inter")
+            .select("id", "n", "bb.band", "bb.bucket")
+            .localCheckpoint()
         )
+        # size prefilter BEFORE the cross-band dedup: the dropped
+        # pairs never shuffle
+        raw = band_candidate_pairs(band_rows, cap, carry=("n",),
+                                   dedup=False)
+        cand = (
+            raw.where(
+                F.least("n_i", "n_j")
+                >= F.lit(threshold) * F.greatest("n_i", "n_j")
+            )
+            .dropDuplicates(["i", "j"])
+        )
+        wa = ws_in.select(F.col("id").alias("i"), F.col("words").alias("wi"))
+        wb = ws_in.select(F.col("id").alias("j"), F.col("words").alias("wj"))
+        return (
+            cand.join(wa, "i")
+            .join(wb, "j")
+            .withColumn("inter", F.size(F.array_intersect("wi", "wj")))
+            .withColumn("uni", F.col("n_i") + F.col("n_j") - F.col("inter"))
+            .where(F.col("inter") >= F.lit(threshold) * F.col("uni"))
+            .select("i", "j", "inter", "uni")
+        )
+
+    if max_bucket_size is not None:
+        return _core(ws, max_bucket_size)
+
+    # ---- duplication gate (cost-only decision; both paths exact) ----
+    # injective word-set key: tokens/shingles cannot contain the space
+    # splitter (shingles join with \x1f), so the space-joined sorted
+    # set is collision-free; sha2 only shortens the group-join key.
+    # NULL word sets never enter the pairing either way (no tokens →
+    # no signature row), so dropping them changes nothing.
+    keyed_expr = ws.where(F.col("words").isNotNull()).select(
+        "id",
+        F.sha2(F.concat_ws(" ", F.array_sort("words")), 256).alias("_wkey"),
+        F.size("words").alias("_n"),
+    )
+    row = keyed_expr.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_count_distinct("_wkey").alias("n_sets"),
+    ).first()
+    if row["n_docs"] == 0 or row["n_sets"] >= 0.5 * row["n_docs"]:
+        return _core(ws, None)
+
+    # ---- collapsed path (see docstring) ----
+    keyed = keyed_expr.localCheckpoint()
+    reps = keyed.groupBy("_wkey").agg(F.min("id").alias("id"))
+    ws_reps = ws.join(reps.select("id"), "id").localCheckpoint()
+    rep_pairs = _core(ws_reps, None)
+    # rep id → group key, then expand each verified rep pair over both
+    # member groups; the two groups are distinct, so every (a, b)
+    # member pair appears exactly once (ordered by least/greatest)
+    rk = keyed.select(F.col("id").alias("_rid"), F.col("_wkey"))
+    ma = keyed.select(F.col("_wkey").alias("_ka"), F.col("id").alias("_a"))
+    mb = keyed.select(F.col("_wkey").alias("_kb"), F.col("id").alias("_b"))
+    cross = (
+        rep_pairs
+        .join(rk.withColumnRenamed("_rid", "i")
+              .withColumnRenamed("_wkey", "_ka"), "i")
+        .join(rk.withColumnRenamed("_rid", "j")
+              .withColumnRenamed("_wkey", "_kb"), "j")
+        .join(ma, "_ka")
+        .join(mb, "_kb")
+        .select(
+            F.least("_a", "_b").alias("i"),
+            F.greatest("_a", "_b").alias("j"),
+            "inter", "uni",
+        )
+    )
+    # intra-group pairs: identical sets share every band bucket and
+    # have inter = uni = |set|; the threshold test is kept verbatim
+    # for degenerate thresholds > 1
+    intra = (
+        keyed.select(F.col("_wkey"), F.col("id").alias("i"),
+                     F.col("_n").alias("inter"))
+        .join(keyed.select(F.col("_wkey"), F.col("id").alias("j")),
+              "_wkey")
+        .where(F.col("i") < F.col("j"))
+        .withColumn("uni", F.col("inter"))
         .where(F.col("inter") >= F.lit(threshold) * F.col("uni"))
         .select("i", "j", "inter", "uni")
     )
+    return cross.unionByName(intra)
 
 
 def simhash_pairs(
@@ -412,46 +533,105 @@ def simhash_pairs(
     exactly like the MinHash-LSH path.
 
     → (i, j, hamming), i < j.
+
+    Scale shape (r6): when ``max_bucket_size`` is None the banding
+    runs COLLAPSED over DISTINCT fingerprints — the fingerprint IS an
+    exact group key (bucket membership and the hamming distance are
+    both functions of the two fingerprints alone), so the band
+    self-join and the hamming verify run over one row per distinct
+    fingerprint, and member pairs are expanded back by fingerprint
+    equi-joins: equal-fingerprint docs always share every block
+    (hamming 0), a cross-fingerprint pair shares a block / passes the
+    verify exactly iff its fingerprint pair does. Identical-document
+    clusters (the quadratic mass — sum c² ≈ 7.4M per band at sf1)
+    stop multiplying through the join and the cross-band dedup; the
+    c²/2 output rows come from one plain equi-join at the end.
+    With a ``max_bucket_size`` cap the legacy per-doc banding runs:
+    hotness counts docs, so collapsing would change which buckets are
+    capped.
     """
-    if 64 % n_bands != 0 or max_hamming >= n_bands:
+    if 64 % n_bands != 0 or not 0 <= max_hamming < n_bands:
         # a bare assert would be stripped under python -O, silently
         # dropping pairs whose differing bits touch every block
         raise ValueError(
-            f"need 64 % n_bands == 0 and max_hamming < n_bands for "
-            f"pigeonhole exactness (got n_bands={n_bands}, "
+            f"need 64 % n_bands == 0 and 0 <= max_hamming < n_bands "
+            f"for pigeonhole exactness (got n_bands={n_bands}, "
             f"max_hamming={max_hamming})"
         )
     bits = 64 // n_bands
     mask = (1 << bits) - 1
     sig = simhash64(docs, text_col, id_col)
-    band_rows = sig.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), b * bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
+
+    def _blocks(df, extra: tuple[str, ...]):
+        return df.select(
+            *extra,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(F.col("simhash"), b * bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bucket"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(*extra, "bb.band", "bb.bucket")
+
+    if max_bucket_size is not None:
+        band_rows = _blocks(sig, ("id", "simhash"))
+        return (
+            band_candidate_pairs(band_rows, max_bucket_size,
+                                 carry=("simhash",))
+            .withColumn(
+                "hamming",
+                F.bit_count(
+                    F.col("simhash_i").bitwiseXOR(F.col("simhash_j"))
+                ).cast("int"),
             )
-        ).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.bucket")
-    return (
-        band_candidate_pairs(band_rows, max_bucket_size, carry=("simhash",))
+            .where(F.col("hamming") <= max_hamming)
+            .select("i", "j", "hamming")
+        )
+
+    # ---- collapsed path (exact; see docstring) ----
+    # one UDF pass: the fingerprint frame feeds the distinct-fp
+    # banding, both expansion joins, and the intra self-join
+    sigc = sig.localCheckpoint()
+    fps = sigc.select("simhash").distinct()
+    # the fingerprint doubles as the pair id: band_candidate_pairs'
+    # (i, j) ARE the two fingerprints, so the hamming verify needs no
+    # carry columns at all
+    fp_pairs = (
+        band_candidate_pairs(
+            _blocks(fps.withColumn("id", F.col("simhash")), ("id",)),
+            None,
+        )
         .withColumn(
             "hamming",
-            F.bit_count(
-                F.col("simhash_i").bitwiseXOR(F.col("simhash_j"))
-            ).cast("int"),
+            F.bit_count(F.col("i").bitwiseXOR(F.col("j"))).cast("int"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("i", "j", "hamming")
     )
+    ma = sigc.select(F.col("simhash").alias("i"), F.col("id").alias("_a"))
+    mb = sigc.select(F.col("simhash").alias("j"), F.col("id").alias("_b"))
+    cross = (
+        fp_pairs.join(ma, "i")
+        .join(mb, "j")
+        .select(
+            F.least("_a", "_b").alias("i"),
+            F.greatest("_a", "_b").alias("j"),
+            "hamming",
+        )
+    )
+    intra = (
+        sigc.select("simhash", F.col("id").alias("i"))
+        .join(sigc.select("simhash", F.col("id").alias("j")), "simhash")
+        .where(F.col("i") < F.col("j"))
+        .select("i", "j", F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(intra)
 
 
 def simhash64(

@@ -385,20 +385,52 @@ def srp_lsh_pairs(
     # re-executes per consumer (4 scans in the physical plan), which
     # is THE expensive stage at 10^9 vectors. Same pattern as the
     # shared shingle stage in minhash_lsh_pairs (operators/dedup.py).
+    # Rebalance the vectors before the signature GEMM: a single
+    # unsplittable input (one parquet row group puts every row into
+    # one scan split regardless of maxPartitionBytes) would otherwise
+    # run the GEMM — and the band join + verify fan-out fused above
+    # the checkpoint — on ONE task (guide §2.5 input skew; measured
+    # 102 s vs 6 s at sf1). Width follows the session's shuffle width
+    # (defaultParallelism is pinned to it, scale-adaptive), and the
+    # narrow (id, vec) shuffle is the same order of bytes as the band
+    # rows themselves.
     band_rows = (
         emb.select(id_col, vec_col)
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(signatures, "id long, keys array<long>")
         .select("id", F.posexplode("keys").alias("band", "bucket"))
         .localCheckpoint()
     )
-    cand = band_candidate_pairs(band_rows, max_bucket_size)
-    va = emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
+    # Verify BEFORE the cross-band dedup, with per-side precomputed
+    # norms (the emb_knn r5 device): the raw candidate stream is ~n²/
+    # bucket_width rows (14.7M at sf1), and the old shape shuffled all
+    # of them through dropDuplicates (12 s) and then folded THREE
+    # array aggregates per pair in the verify (36 s). With norms
+    # precomputed per side the per-pair work is ONE cross-dot fold,
+    # cheap enough to run on the (≤ n_bands× duplicated) raw stream
+    # entirely inside the join stage — no shuffle until the tiny
+    # survivor dedup. Bit-parity: the norms are the same IEEE doubles
+    # (sqrt(dot(v,v)) once per side), and the quotient keeps the exact
+    # ``dot / nullif(na*nb, 0)`` operand order of ``cosine_expr`` /
+    # the oracle. Filter-then-dedup ≡ dedup-then-filter (the cosine is
+    # a function of the pair).
+    def _side(ia, va_, na_):
+        return emb.select(
+            F.col(id_col).alias(ia),
+            _as_double(F.col(vec_col)).alias(va_),
+        ).withColumn(na_, F.sqrt(_dot(F.col(va_), F.col(va_))))
+
+    cand = band_candidate_pairs(band_rows, max_bucket_size, dedup=False)
     return (
-        cand.join(va, "i")
-        .join(vb, "j")
-        .where(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
+        cand.join(_side("i", "va", "na"), "i")
+        .join(_side("j", "vb", "nb"), "j")
+        .where(
+            _dot(F.col("va"), F.col("vb"))
+            / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
+            >= threshold
+        )
         .select("i", "j")
+        .dropDuplicates(["i", "j"])
     )
 
 
