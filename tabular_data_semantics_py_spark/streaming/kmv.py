@@ -61,9 +61,9 @@ def kmv_stream(docs: DataFrame, key_col: str = "lang",
             # unreachable under GroupStateTimeout.NoTimeout (a group
             # only fires with ≥1 input row, and state never shrinks),
             # but a timeout/eviction mode added later WOULD call with
-            # an empty batch — emit nothing rather than IndexError
-            # on mins[-1]
-            state.update((mins, upd))
+            # an empty batch — emit nothing, and do NOT touch state
+            # (ADVICE r05: a no-op state.update here muddied the
+            # "state never changes without input" invariant)
             return
         upd += 1
         state.update((mins, upd))
