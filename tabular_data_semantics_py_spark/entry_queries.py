@@ -155,13 +155,19 @@ def _effective_splits(path: str) -> int:
 
 
 def _load(spark: SparkSession, sf_dir: str, table: str,
-          rebalance: bool = False) -> DataFrame:
+          rebalance: bool = False,
+          columns: list[str] | None = None) -> DataFrame:
     # Record the sf the driver actually drove so scalar-recomputation
     # oracles (minhash signatures, simhash) rebuild over the SAME
     # table — the contract gives oracle_sql() no sf argument.
     _LAST_SF_DIR[:] = [sf_dir]
     path = os.path.join(sf_dir, f"{table}.parquet")
     df = spark.read.parquet(path)
+    if columns is not None:
+        # explicit projection BEFORE a rebalance so the remedial
+        # exchange moves only the columns the query touches (guide
+        # §2.3 "project before the exchange")
+        df = df.select(*columns)
     if rebalance:
         # Unsplittable-input remediation (guide §2.5: "one huge
         # unsplittable file — repartition immediately after the
@@ -1316,18 +1322,31 @@ SELECT o_custkey, o_orderpriority, votes FROM (
 )
 def priority_vote_per_customer(spark, sf_dir):
     """A3/A4 voting+argmax semantics on testdata: most frequent order
-    priority per customer, pinned lexicographic tie-break."""
+    priority per customer, pinned lexicographic tie-break.
+
+    r6: the per-customer ``row_number`` window (full sort of the vote
+    table) is replaced by a hash-aggregate argmax —
+    ``min(struct(-votes, priority, votes))`` picks exactly the
+    (votes DESC, priority ASC) winner with map-side partial
+    aggregation and no sort; both aggregations share one exchange on
+    o_custkey (the second groupBy is a subset of the first's keys).
+    Same rows: the struct order is total per customer (priority is a
+    group key), and negating a BIGINT count is exact."""
     o = _load(spark, sf_dir, "orders")
     votes = o.groupBy("o_custkey", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("votes")
     )
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("votes"), F.asc("o_orderpriority")
-    )
-    return (
-        votes.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("o_custkey", "o_orderpriority", "votes")
+    win = F.min(
+        F.struct(
+            (-F.col("votes")).alias("nv"),
+            F.col("o_orderpriority").alias("pr"),
+            F.col("votes").alias("v"),
+        )
+    ).alias("w")
+    return votes.groupBy("o_custkey").agg(win).select(
+        "o_custkey",
+        F.col("w.pr").alias("o_orderpriority"),
+        F.col("w.v").alias("votes"),
     )
 
 
@@ -1373,17 +1392,28 @@ SELECT o_orderkey, revenue, rnk FROM (
 """,
 )
 def order_revenue_topk(spark, sf_dir):
-    """Aggregate + global top-k with deterministic tie-break."""
+    """Aggregate + global top-k with deterministic tie-break.
+
+    r6: the global ``row_number() OVER (ORDER BY …)`` window funneled
+    every aggregated order row through ONE task's sort (the
+    single-task-window shape operators/topk.py exists to avoid; 1.5M
+    rows at sf1, unbounded at 100 TB). ``orderBy(...).limit(10)``
+    instead plans as TakeOrderedAndProject — per-partition top-10
+    bounded heaps merged at the driver, no global sort, no full
+    shuffle — and the rank is re-attached by a 10-row window (a
+    single trivial task). Same rows, same ranks: the order is total
+    (orderkey is unique within the aggregate)."""
     li = _load(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
         F.sum(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
         ).alias("rev_dec")
     )
-    w = Window.orderBy(F.desc("rev_dec"), F.asc("o_orderkey"))
+    order = [F.desc("rev_dec"), F.asc("o_orderkey")]
+    top10 = rev.orderBy(*order).limit(10)
+    w = Window.orderBy(*order)
     return (
-        rev.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 10)
+        top10.withColumn("rnk", F.row_number().over(w))
         .select(
             "o_orderkey", F.col("rev_dec").cast("double").alias("revenue"), "rnk"
         )

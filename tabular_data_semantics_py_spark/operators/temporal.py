@@ -105,9 +105,21 @@ def _hot_bucket_stats(u, on: str, ordv, hot_threshold: int,
         .where(F.col("_hot_n") >= hot_threshold)
         .localCheckpoint()
     )
-    if counts.isEmpty():
+    # one tiny action on the checkpointed O(N/threshold) frame doubles
+    # as the adaptive gate (max is NULL ⇔ no hot key) and sizes the
+    # grid below
+    max_n = counts.agg(F.max("_hot_n")).first()[0]
+    if max_n is None:
         return None
-    fracs = [i / _GRID_Q for i in range(1, _GRID_Q)]
+    # adaptive grid: no key needs more than ceil(max_n/threshold)
+    # buckets, so an 8×-oversampled grid resolves every edge exactly
+    # as well as the full 256-point one (edge i still lands at
+    # fraction i/nb) at a fraction of the per-key evaluation size
+    import math
+
+    nb_max = max(1, math.ceil(max_n / hot_threshold))
+    grid_q = min(_GRID_Q, max(2, 8 * nb_max))
+    fracs = [i / grid_q for i in range(1, grid_q)]
     grid = (
         u.join(F.broadcast(counts.select(on)), on)
         .groupBy(on)
@@ -116,7 +128,7 @@ def _hot_bucket_stats(u, on: str, ordv, hot_threshold: int,
         ).alias("_grid"))
     )
     nb = F.least(
-        F.ceil(F.col("_hot_n") / F.lit(hot_threshold)), F.lit(_GRID_Q)
+        F.ceil(F.col("_hot_n") / F.lit(hot_threshold)), F.lit(grid_q)
     )
     # edge i (1..nb-1) = grid point at fraction ~i/nb (1-based
     # index). nb == 1 needs the explicit empty arm: sequence(1, 0)
@@ -126,7 +138,7 @@ def _hot_bucket_stats(u, on: str, ordv, hot_threshold: int,
         F.transform(
             F.sequence(F.lit(1), nb - 1),
             lambda i: F.element_at(
-                F.col("_grid"), F.floor(i * _GRID_Q / nb).cast("int")
+                F.col("_grid"), F.floor(i * grid_q / nb).cast("int")
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS ARRAY<DOUBLE>)"))
