@@ -135,23 +135,24 @@ _LAST_SF_DIR: list[str] = []
 _RG_MEMO: dict[tuple[str, float], int] = {}
 
 
-def _effective_splits(path: str) -> int:
-    """How many NON-EMPTY tasks a Spark scan of this parquet file can
-    produce. Spark splits files by byte ranges, but a parquet row
-    group is assigned to the one split holding its midpoint — a file
-    with a single giant row group therefore collapses to ONE non-empty
-    split no matter what maxPartitionBytes says, and every operator
-    fused above the scan runs single-task (guide §2.5 input skew).
+def _effective_splits(path: str) -> tuple[int, int]:
+    """(non-empty scan splits, rows) of this parquet file. Spark
+    splits files by byte ranges, but a parquet row group is assigned
+    to the one split holding its midpoint — a file with a single
+    giant row group therefore collapses to ONE non-empty split no
+    matter what maxPartitionBytes says, and every operator fused
+    above the scan runs single-task (guide §2.5 input skew).
     Driver-side footer read, memoized on (path, mtime)."""
     try:
         key = (path, os.path.getmtime(path))
         if key not in _RG_MEMO:
             import pyarrow.parquet as pq
 
-            _RG_MEMO[key] = pq.ParquetFile(path).metadata.num_row_groups
+            md = pq.ParquetFile(path).metadata
+            _RG_MEMO[key] = (md.num_row_groups, md.num_rows)
         return _RG_MEMO[key]
     except Exception:
-        return 1 << 30  # unknown layout: assume healthy, never shuffle
+        return (1 << 30, 0)  # unknown layout: assume healthy, no shuffle
 
 
 def _load(spark: SparkSession, sf_dir: str, table: str,
@@ -180,8 +181,14 @@ def _load(spark: SparkSession, sf_dir: str, table: str,
         # session's shuffle width (scale-adaptive, not a core-count
         # constant). Row order is irrelevant to every registered
         # query (set-compared against the oracle).
+        # The rows floor keeps tiny tables (sf0.01 gate corpora, the
+        # sf0.1 embeddings) off the remedial shuffle: below it the
+        # serial map work is cheaper than re-executing the exchange
+        # once per consuming action (measured: emb_ivf_knn's six
+        # actions each re-shuffled a 2k-row table, +1.3 s at sf0.1).
         width = spark.sparkContext.defaultParallelism
-        if _effective_splits(path) < max(width // 4, 2):
+        n_splits, n_rows = _effective_splits(path)
+        if n_splits < max(width // 4, 2) and n_rows >= 4000:
             df = df.repartition(width)
     return df
 

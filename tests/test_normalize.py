@@ -59,3 +59,34 @@ def test_lexical_score_monotone():
     # near: edit_sim ~0.93, token jaccard 1/3 → ~0.63; far ≈ 0
     assert near > 0.6 > far
     assert lexical_score("paris", "paris") == 1.0
+
+
+def test_levenshtein_batch_matches_scalar():
+    """The batch-vectorized integer DP behind make_lexical_score_udf
+    must be bit-identical to the scalar _levenshtein on every pair —
+    including empties, equal strings, \\x00-containing strings (the
+    numpy U-dtype pad char), unicode, and asymmetric lengths."""
+    import random
+
+    from tabular_data_semantics_py_spark.functions.normalize import (
+        _levenshtein, _levenshtein_batch, lexical_score, token_jaccard,
+    )
+
+    rnd = random.Random(7)
+    alphabet = "ab \x00éxyz"
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
+             ("a\x00b", "a b"), ("é", "e")]
+    for _ in range(400):
+        a = "".join(rnd.choice(alphabet) for _ in range(rnd.randrange(0, 12)))
+        b = "".join(rnd.choice(alphabet) for _ in range(rnd.randrange(0, 12)))
+        cases.append((a, b))
+    A = [a for a, _ in cases]
+    B = [b for _, b in cases]
+    got = _levenshtein_batch(A, B)
+    for (a, b), g in zip(cases, got):
+        assert int(g) == _levenshtein(a, b), (a, b, int(g))
+        # and the full score arithmetic mirrors the scalar bitwise
+        mx = max(len(a), len(b))
+        edit = 1.0 if mx == 0 else 1.0 - int(g) / mx
+        assert 0.5 * edit + 0.5 * token_jaccard(a, b) == \
+            lexical_score(a, b), (a, b)
