@@ -456,20 +456,25 @@ def minhash_lsh_pairs(
     # set is collision-free; sha2 only shortens the group-join key.
     # NULL word sets never enter the pairing either way (no tokens →
     # no signature row), so dropping them changes nothing.
-    keyed_expr = ws.where(F.col("words").isNotNull()).select(
-        "id",
-        F.sha2(F.concat_ws(" ", F.array_sort("words")), 256).alias("_wkey"),
-        F.size("words").alias("_n"),
-    )
-    row = keyed_expr.agg(
+    # the gate only needs a duplication ESTIMATE, so it hashes the
+    # sorted set (xxhash64 over the array — no 1.3 KB string build,
+    # no sha); the collapse itself re-keys with the injective
+    # sorted-set sha below
+    row = ws.where(F.col("words").isNotNull()).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.approx_count_distinct("_wkey").alias("n_sets"),
+        F.approx_count_distinct(
+            F.xxhash64(F.array_sort("words"))
+        ).alias("n_sets"),
     ).first()
     if row["n_docs"] == 0 or row["n_sets"] >= 0.5 * row["n_docs"]:
         return _core(ws, None)
 
     # ---- collapsed path (see docstring) ----
-    keyed = keyed_expr.localCheckpoint()
+    keyed = ws.where(F.col("words").isNotNull()).select(
+        "id",
+        F.sha2(F.concat_ws(" ", F.array_sort("words")), 256).alias("_wkey"),
+        F.size("words").alias("_n"),
+    ).localCheckpoint()
     reps = keyed.groupBy("_wkey").agg(F.min("id").alias("id"))
     ws_reps = ws.join(reps.select("id"), "id").localCheckpoint()
     rep_pairs = _core(ws_reps, None)
