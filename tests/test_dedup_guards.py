@@ -232,3 +232,42 @@ def test_banding_config_validation(spark):
         minhash_lsh_pairs(docs, 0.9, n_hashes=16, rows_per_band=3)
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_pairs(docs, max_hamming=4, n_bands=4)
+
+
+def test_hash_injective_certificate(spark):
+    """The runtime certificate behind the hashed intersect verify:
+    xxhash64 is collision-free on the small corpus's token domain
+    (True), and a deliberately weak 1-bit hash fails the certificate
+    (False) — the branch that keeps the string path."""
+    from tabular_data_semantics_py_spark.operators.dedup import (
+        _hash_injective_on, word_sets,
+    )
+
+    toks = word_sets(_docs(spark), "text", "doc_id", 1).select(
+        F.explode("words").alias("w")
+    )
+    assert _hash_injective_on(toks, F.col("w"), F.xxhash64(F.col("w")))
+    assert not _hash_injective_on(
+        toks, F.col("w"), F.pmod(F.xxhash64(F.col("w")), F.lit(2))
+    )
+
+
+def test_hashed_verify_output_identical(spark):
+    """minhash_lsh_pairs output must be row-identical whether the
+    exact-Jaccard verify runs on shingle strings or on their hashed
+    int64 images (the certificate holds on this corpus, so both are
+    exact)."""
+    docs = _docs(spark)
+
+    def rows(hv):
+        return sorted(
+            (r.i, r.j, r.inter, r.uni)
+            for r in minhash_lsh_pairs(
+                docs, 0.8, 16, 1, ngram=3, hashed_verify=hv
+            ).collect()
+        )
+
+    s = rows(False)
+    assert s == rows(True)
+    assert s == rows(None)  # default = certificate-gated
+    assert len(s) > 0
