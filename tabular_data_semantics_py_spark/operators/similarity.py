@@ -16,9 +16,6 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
-from .dedup import band_candidate_pairs
 
 
 def _as_double(col):
@@ -348,6 +345,7 @@ def srp_lsh_pairs(
     if head is None:
         raise ValueError("srp_lsh_pairs: empty embedding table")
     dim = len(head[0])
+    vec_type = dict(emb.dtypes)[vec_col]
     bH = spark.sparkContext.broadcast(srp_hyperplanes(n_bits, dim, seed))
 
     def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -376,51 +374,79 @@ def srp_lsh_pairs(
                 @ weights
             )
             yield pd.DataFrame(
-                {"id": pdf[id_col].to_numpy(), "keys": list(keys)}
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "vec": pdf[vec_col],
+                    "keys": list(keys),
+                }
             )
 
-    # materialize the signature pass once: it is consumed by both
-    # sides of the bucket self-join (and a third time by the
-    # hot-bucket count) — without the barrier the GEMM MapInPandas
-    # re-executes per consumer (4 scans in the physical plan), which
-    # is THE expensive stage at 10^9 vectors. Same pattern as the
-    # shared shingle stage in minhash_lsh_pairs (operators/dedup.py).
     # Rebalance the vectors before the signature GEMM: a single
     # unsplittable input (one parquet row group puts every row into
     # one scan split regardless of maxPartitionBytes) would otherwise
-    # run the GEMM — and the band join + verify fan-out fused above
-    # the checkpoint — on ONE task (guide §2.5 input skew; measured
-    # 102 s vs 6 s at sf1). Width follows the session's shuffle width
-    # (defaultParallelism is pinned to it, scale-adaptive), and the
-    # narrow (id, vec) shuffle is the same order of bytes as the band
-    # rows themselves.
+    # run the GEMM on ONE task (guide §2.5 input skew; measured 102 s
+    # vs 6 s at sf1). Width follows the session's shuffle width
+    # (defaultParallelism is pinned to it, scale-adaptive). The
+    # vectors ride along into the band rows: the candidate stage
+    # below consumes them per (band, bucket) — the n_bands-fold
+    # vector replication through the bucket groupBy is the same
+    # replication trade ``cosine_pairs_blocked`` makes for its block
+    # pairs.
     band_rows = (
         emb.select(id_col, vec_col)
         .repartition(spark.sparkContext.defaultParallelism)
-        .mapInPandas(signatures, "id long, keys array<long>")
-        .select("id", F.posexplode("keys").alias("band", "bucket"))
+        .mapInPandas(
+            signatures, f"id long, vec {vec_type}, keys array<long>"
+        )
+        .select("id", "vec", F.posexplode("keys").alias("band", "bucket"))
         .localCheckpoint()
     )
-    # Verify BEFORE the cross-band dedup, with per-side precomputed
-    # norms (the emb_knn r5 device): the raw candidate stream is ~n²/
-    # bucket_width rows (14.7M at sf1), and the old shape shuffled all
-    # of them through dropDuplicates (12 s) and then folded THREE
-    # array aggregates per pair in the verify (36 s). With norms
-    # precomputed per side the per-pair work is ONE cross-dot fold,
-    # cheap enough to run on the (≤ n_bands× duplicated) raw stream
-    # entirely inside the join stage — no shuffle until the tiny
-    # survivor dedup. Bit-parity: the norms are the same IEEE doubles
-    # (sqrt(dot(v,v)) once per side), and the quotient keeps the exact
-    # ``dot / nullif(na*nb, 0)`` operand order of ``cosine_expr`` /
-    # the oracle. Filter-then-dedup ≡ dedup-then-filter (the cosine is
-    # a function of the pair).
+    if max_bucket_size is not None:
+        from .dedup import drop_hot_keys
+
+        band_rows = drop_hot_keys(band_rows, ["band", "bucket"],
+                                  max_bucket_size)
+
+    # Candidates via ONE float64 GEMM per (band, bucket) group with a
+    # tiny margin, then the exact sequential-fold re-verify at
+    # ``threshold`` — the ``cosine_pairs_blocked`` pattern. This
+    # replaces the r5 shape (bucket self-join + per-pair JVM cosine
+    # folds + a 14.7M-row cross-band dedup Exchange, ~48 s at sf1):
+    # the ~n²/bucket_width candidate dot products run in BLAS
+    # (measured 1.5–2.7 s for the same 35,759 sf1 survivors), and
+    # only survivors ever shuffle. Exactness: the margin absorbs
+    # GEMM's FP reassociation (≲ 1e-13 for 64-dim f64, margin 1e-6),
+    # so no pair the exact fold accepts is dropped; NaN / zero-norm
+    # vectors yield NaN sims, fail the cut, and were equally excluded
+    # by the fold path's NULL cosine. The bucket grouping itself IS
+    # the candidate contract (pairs sharing ≥ 1 band bucket).
+    cut = threshold - 1e-6
+
+    def bucket_gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        V = np.array(list(pdf["vec"]), dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = Vn @ Vn.T
+        r, c = np.nonzero(sims >= cut)
+        keep = ids[r] < ids[c]
+        return pd.DataFrame({"i": ids[r][keep], "j": ids[c][keep]})
+
+    cand = (
+        band_rows.groupBy("band", "bucket")
+        .applyInPandas(bucket_gemm, "i long, j long")
+        .dropDuplicates(["i", "j"])
+    )
+
+    # exact re-verify with per-side precomputed norms (one cross-dot
+    # fold per survivor): the same IEEE doubles and operand order as
+    # ``cosine_expr`` / the SQL oracle — dot / nullif(na·nb, 0)
     def _side(ia, va_, na_):
         return emb.select(
             F.col(id_col).alias(ia),
             _as_double(F.col(vec_col)).alias(va_),
         ).withColumn(na_, F.sqrt(_dot(F.col(va_), F.col(va_))))
 
-    cand = band_candidate_pairs(band_rows, max_bucket_size, dedup=False)
     return (
         cand.join(_side("i", "va", "na"), "i")
         .join(_side("j", "vb", "nb"), "j")
@@ -430,7 +456,6 @@ def srp_lsh_pairs(
             >= threshold
         )
         .select("i", "j")
-        .dropDuplicates(["i", "j"])
     )
 
 
