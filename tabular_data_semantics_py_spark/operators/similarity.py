@@ -422,19 +422,44 @@ def srp_lsh_pairs(
     # the candidate contract (pairs sharing ≥ 1 band bucket).
     cut = threshold - 1e-6
 
-    def bucket_gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["id"].to_numpy()
-        V = np.array(list(pdf["vec"]), dtype=np.float64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            sims = Vn @ Vn.T
-        r, c = np.nonzero(sims >= cut)
-        keep = ids[r] < ids[c]
-        return pd.DataFrame({"i": ids[r][keep], "j": ids[c][keep]})
+    def partition_gemms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one Python dispatch per PARTITION, buckets grouped locally:
+        # applyInPandas would dispatch per (band, bucket) group —
+        # n_bands·2^r_bits groups of a few rows each, whose per-group
+        # overhead dominated at small scale (measured +0.6 s on 2k
+        # vectors). The hash repartition below keeps whole buckets in
+        # one partition, so concatenating the partition's batches is
+        # safe.
+        bl = list(batches)
+        pdf = pd.concat(bl, ignore_index=True) if bl else None
+        out_i: list = []
+        out_j: list = []
+        if pdf is not None and len(pdf):
+            for _, g in pdf.groupby(["band", "bucket"], sort=False):
+                if len(g) < 2:
+                    continue
+                ids = g["id"].to_numpy()
+                V = np.array(list(g["vec"]), dtype=np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                    sims = Vn @ Vn.T
+                r, c = np.nonzero(sims >= cut)
+                keep = ids[r] < ids[c]
+                out_i.append(ids[r][keep])
+                out_j.append(ids[c][keep])
+        if out_i:
+            yield pd.DataFrame({
+                "i": np.concatenate(out_i), "j": np.concatenate(out_j)
+            })
+        else:
+            yield pd.DataFrame({"i": pd.Series(dtype="int64"),
+                                "j": pd.Series(dtype="int64")})
 
     cand = (
-        band_rows.groupBy("band", "bucket")
-        .applyInPandas(bucket_gemm, "i long, j long")
+        band_rows
+        .repartition(spark.sparkContext.defaultParallelism,
+                     "band", "bucket")
+        .mapInPandas(partition_gemms, "i long, j long")
         .dropDuplicates(["i", "j"])
     )
 
